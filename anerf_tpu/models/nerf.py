@@ -1,0 +1,181 @@
+"""The A-NeRF MLP as an explicit param pytree with a functional apply.
+
+Re-design of reference core/networks/nerf.py:12-148 and the Optcodes
+per-frame latent codes (core/networks/embedding.py:4-44). Parameters are
+plain nested dicts of jnp arrays (weights stored (in, out) so apply is
+`x @ W + b`, the MXU-friendly layout); there is no module object, so the same
+params flow through jit/grad/optax and shard trivially.
+
+Parameter tree schema (documented for checkpoint import/export):
+  {
+    'pts_linears': [{'w': (in, W), 'b': (W,)} * D],
+    'alpha_linear': {'w': (W, 1), 'b': (1,)},
+    'feature_linear': {'w': (W, W), 'b': (W,)},
+    'views_linears': [{'w': (vnet_in, W//2), 'b': (W//2,)}],
+    'rgb_linear': {'w': (W//2, 3), 'b': (3,)},
+    'framecodes': {'codes': (n_framecodes, framecode_ch)}   # optional
+  }
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Static MLP architecture config (reference NeRF.__init__ args)."""
+    depth: int = 8                    # D
+    width: int = 256                  # W
+    input_ch: int = 360               # kp encoding width
+    input_ch_bones: int = 72          # bone encoding width
+    input_ch_views: int = 648         # view encoding width
+    output_ch: int = 4                # when use_viewdirs=False
+    skips: Tuple[int, ...] = (4,)
+    use_viewdirs: bool = True
+    use_framecode: bool = False
+    framecode_ch: int = 16
+    n_framecodes: int = 0
+    density_scale: float = 1.0
+
+    @property
+    def dnet_input(self) -> int:
+        return self.input_ch + self.input_ch_bones
+
+    @property
+    def vnet_input(self) -> int:
+        offset = self.framecode_ch if self.use_framecode else 0
+        return self.input_ch_views + offset + self.width
+
+
+def _linear_init(key: jax.Array, fan_in: int, fan_out: int
+                 ) -> Dict[str, jnp.ndarray]:
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    for both weight and bias (keeps init statistics identical to the
+    reference so training curves are comparable)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        'w': jax.random.uniform(kw, (fan_in, fan_out), jnp.float32,
+                                -bound, bound),
+        'b': jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
+def init_nerf_params(key: jax.Array, cfg: NeRFConfig) -> Dict[str, Any]:
+    n_layers = cfg.depth
+    keys = jax.random.split(key, n_layers + 5)
+
+    pts_linears = []
+    in_dim = cfg.dnet_input
+    for i in range(n_layers):
+        # layer i's input gets the skip concat if (i-1) in skips
+        # (reference nerf.py:61-67: layer list is [Linear(in, W)] then
+        # D-1 layers, layer i+1 takes W + dnet_input when i in skips)
+        pts_linears.append(_linear_init(keys[i], in_dim, cfg.width))
+        in_dim = cfg.width + cfg.dnet_input if i in cfg.skips else cfg.width
+
+    params: Dict[str, Any] = {'pts_linears': pts_linears}
+    if cfg.use_viewdirs:
+        params['alpha_linear'] = _linear_init(keys[n_layers], cfg.width, 1)
+        params['feature_linear'] = _linear_init(
+            keys[n_layers + 1], cfg.width, cfg.width)
+        params['views_linears'] = [
+            _linear_init(keys[n_layers + 2], cfg.vnet_input, cfg.width // 2)]
+        params['rgb_linear'] = _linear_init(
+            keys[n_layers + 3], cfg.width // 2, 3)
+    else:
+        params['output_linear'] = _linear_init(
+            keys[n_layers], cfg.width, cfg.output_ch)
+
+    if cfg.use_framecode:
+        # xavier normal on the embedding (embedding.py:36-38)
+        std = np.sqrt(2.0 / (cfg.n_framecodes + cfg.framecode_ch))
+        params['framecodes'] = {
+            'codes': jax.random.normal(
+                keys[n_layers + 4],
+                (cfg.n_framecodes, cfg.framecode_ch)) * std}
+    return params
+
+
+def _dense(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
+           compute_dtype=None) -> jnp.ndarray:
+    w, b = p['w'], p['b']
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = x @ w
+    return y.astype(jnp.float32) + b
+
+
+def forward_density(params: Dict[str, Any], cfg: NeRFConfig,
+                    input_pts: jnp.ndarray,
+                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Density trunk: 8 layers, ReLU, skip concat (nerf.py:94-102).
+
+    input_pts: (..., dnet_input). Returns trunk features (..., W).
+    Matmuls run in `compute_dtype` (bf16 on the MXU) with f32 accumulation
+    via the f32 bias add; set compute_dtype=None for strict f32 parity tests.
+    """
+    h = input_pts
+    for i, layer in enumerate(params['pts_linears']):
+        h = _dense(layer, h, compute_dtype)
+        h = jax.nn.relu(h)
+        if i in cfg.skips:
+            h = jnp.concatenate([input_pts, h], -1)
+    return h
+
+
+def lookup_framecodes(params: Dict[str, Any], idx: jnp.ndarray,
+                      eval_mean: bool = False) -> jnp.ndarray:
+    """Per-frame latent code lookup (embedding.py:17-33).
+
+    idx: (R,) int frame indices, or (R, 3) [idx0, idx1, lerp_w] for two-code
+    interpolation. eval_mean substitutes the mean code (render-time idx < 0).
+    """
+    codes = params['framecodes']['codes']
+    if eval_mean:
+        mean = jnp.mean(codes, axis=0, keepdims=True)
+        n = idx.shape[0]
+        return jnp.broadcast_to(mean, (n, codes.shape[-1]))
+    if idx.ndim == 2 and idx.shape[-1] == 3:
+        c0 = codes[idx[..., 0].astype(jnp.int32)]
+        c1 = codes[idx[..., 1].astype(jnp.int32)]
+        w = idx[..., 2:3]
+        return c0 * (1.0 - w) + c1 * w
+    return codes[idx.reshape(-1).astype(jnp.int32)]
+
+
+def forward_view(params: Dict[str, Any], cfg: NeRFConfig,
+                 input_views: jnp.ndarray, h: jnp.ndarray,
+                 framecodes: Optional[jnp.ndarray] = None,
+                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Radiance head (nerf.py:114-131). framecodes: (..., framecode_ch)
+    already gathered per-sample, or None."""
+    feature = _dense(params['feature_linear'], h, compute_dtype)
+    if cfg.use_framecode:
+        assert framecodes is not None
+        input_views = jnp.concatenate([input_views, framecodes], -1)
+    hv = jnp.concatenate([feature, input_views], -1)
+    for layer in params['views_linears']:
+        hv = jax.nn.relu(_dense(layer, hv, compute_dtype))
+    return _dense(params['rgb_linear'], hv, compute_dtype)
+
+
+def apply_nerf(params: Dict[str, Any], cfg: NeRFConfig,
+               input_pts: jnp.ndarray, input_views: jnp.ndarray,
+               framecodes: Optional[jnp.ndarray] = None,
+               compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Full forward: (..., dnet_in), (..., views_in) -> raw (..., 4)
+    = [rgb_logits(3), sigma(1)] (nerf.py:133-148)."""
+    h = forward_density(params, cfg, input_pts, compute_dtype)
+    if cfg.use_viewdirs:
+        alpha = _dense(params['alpha_linear'], h, compute_dtype)
+        rgb = forward_view(params, cfg, input_views, h, framecodes,
+                           compute_dtype)
+        return jnp.concatenate([rgb, alpha], -1)
+    return _dense(params['output_linear'], h, compute_dtype)

@@ -1,0 +1,124 @@
+"""Ray sampling: stratified, inverse-CDF importance, coarse/fine merge.
+
+Mirrors reference core/utils/ray_utils.py:157-289 with device RNG (threefry
+keys) instead of global torch RNG; all shapes static for jit. The coarse/fine
+merge is a single `jnp.sort` + `take_along_axis` (SURVEY §7 "hard parts"),
+replacing the reference's gather-based merge (core/raycasters.py:679-812).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_from_lineseg(key: Optional[jax.Array],
+                        near: jnp.ndarray, far: jnp.ndarray,
+                        n_samples: int,
+                        perturb: float = 0.0,
+                        lindisp: bool = False) -> jnp.ndarray:
+    """Stratified samples along [near, far] per ray.
+
+    near/far: (R, 1). Returns z_vals (R, n_samples).
+    perturb > 0 jitters each sample uniformly within its stratum
+    (ray_utils.py:204-251).
+    """
+    t_vals = jnp.linspace(0.0, 1.0, n_samples, dtype=near.dtype)
+    if not lindisp:
+        z_vals = near * (1.0 - t_vals) + far * t_vals
+    else:
+        z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+
+    if perturb > 0.0:
+        assert key is not None
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], -1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], -1)
+        t_rand = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * t_rand
+    return z_vals
+
+
+def sample_pdf(key: Optional[jax.Array], bins: jnp.ndarray,
+               weights: jnp.ndarray, n_samples: int,
+               det: bool = False) -> jnp.ndarray:
+    """Inverse-CDF sampling over histogram bins (ray_utils.py:157-201).
+
+    bins: (R, B), weights: (R, B-1)... here matching the reference call
+    convention: bins are the midpoints (R, M), weights (R, M).
+    Returns samples (R, n_samples), detached from the weight gradient.
+    """
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # (R, M+1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        assert key is not None
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,),
+                               dtype=cdf.dtype)
+
+    # searchsorted per row; vmap keeps it a batched binary search on device.
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side='right'))(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, -1)
+    cdf_above = jnp.take_along_axis(cdf, above, -1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), -1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), -1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def isample_from_lineseg(key: Optional[jax.Array],
+                         z_vals: jnp.ndarray, weights: jnp.ndarray,
+                         n_importance: int, det: bool = False,
+                         is_only: bool = False, alpha_base: float = 0.01,
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Importance sampling around existing z_vals (ray_utils.py:255-289).
+
+    is_only applies the max-filter weight smoothing used by single_net mode:
+    w' = 0.5*(max(w_l, w_k) + max(w_k, w_u)) + alpha_base.
+
+    Returns (z_all_sorted, z_samples, sort_idxs) where z_all_sorted is the
+    sorted union of old and new samples and sort_idxs the argsort indices
+    into the concatenated [z_vals, z_samples].
+    """
+    z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    if is_only:
+        w_l = weights[..., 0:-2]
+        w_k = weights[..., 1:-1]
+        w_u = weights[..., 2:]
+        dist_weights = 0.5 * (jnp.maximum(w_l, w_k)
+                              + jnp.maximum(w_k, w_u)) + alpha_base
+    else:
+        dist_weights = weights[..., 1:-1]
+
+    z_samples = sample_pdf(key, z_vals_mid, dist_weights, n_importance, det=det)
+    z_samples = jax.lax.stop_gradient(z_samples)
+
+    z_cat = jnp.concatenate([z_vals, z_samples], -1)
+    sort_idxs = jnp.argsort(z_cat, -1)
+    z_all = jnp.take_along_axis(z_cat, sort_idxs, -1)
+    return z_all, z_samples, sort_idxs
+
+
+def merge_sorted(coarse: jnp.ndarray, fine: jnp.ndarray,
+                 sort_idxs: jnp.ndarray) -> jnp.ndarray:
+    """Reorder concatenated per-sample tensors by precomputed sort indices.
+
+    coarse: (R, S, ...), fine: (R, I, ...), sort_idxs: (R, S+I) from
+    isample_from_lineseg. Gradient-preserving gather (take_along_axis), the
+    jnp equivalent of the reference merge (raycasters.py:796-812).
+    """
+    cat = jnp.concatenate([coarse, fine], axis=1)
+    idx = sort_idxs.reshape(sort_idxs.shape + (1,) * (cat.ndim - 2))
+    return jnp.take_along_axis(cat, jnp.broadcast_to(idx, sort_idxs.shape + cat.shape[2:]), axis=1)

@@ -1,0 +1,267 @@
+"""The rendering core: cylinder bounds -> sampling -> skeleton-relative
+encoding -> MLP -> compositing -> importance resampling -> fine pass.
+
+TPU re-design of reference core/raycasters.py:326-822. Differences by design:
+  * One pure function `render_rays(params, cfg, batch, rng, train)` traced
+    once under jit with static shapes — no chunk loops, no nn.DataParallel
+    (the reference's `chunk`/`netchunk` exist only to fit GPU memory).
+  * Framecodes are gathered per-ray once and broadcast over samples instead
+    of being concatenated per-point and split inside the MLP.
+  * View encodings are computed at (R, 1, .) and only the per-sample cutoff
+    window runs at (R, S, .).
+  * Coarse/fine merge is jnp.sort + take_along_axis (gradient-preserving).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.nerf import (NeRFConfig, apply_nerf, forward_density, _dense,
+                           lookup_framecodes)
+from ..ops.compositing import get_density_fn, raw2outputs
+from ..ops.cylinder import get_near_far_in_cylinder
+from ..ops.embedder import EmbedConfig, embed
+from ..ops.encoding import (make_bone_encoder, make_kp_encoder,
+                            make_view_encoder, transform_batch_pts,
+                            transform_batch_rays)
+from ..ops.sampling import (isample_from_lineseg, merge_sorted,
+                            sample_from_lineseg)
+from ..skeleton import Skeleton, SMPLSkeleton
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration of the full render path.
+
+    Mirrors the knobs carried by render_kwargs_train/test + preproc_kwargs
+    in the reference (core/raycasters.py:145-177).
+    """
+    nerf: NeRFConfig
+    embed_kp: EmbedConfig
+    embed_bone: Optional[EmbedConfig]
+    embed_view: Optional[EmbedConfig]
+    skel: Skeleton = SMPLSkeleton
+    kp_dist_type: str = 'reldist'
+    bone_type: str = 'reldir'
+    view_type: str = 'relray'
+    n_samples: int = 64
+    n_importance: int = 16
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    ray_noise_std: float = 0.0
+    lindisp: bool = False
+    single_net: bool = False
+    use_viewdirs: bool = True
+    density_type: str = 'relu'
+    softplus_shift: float = 1.0
+    density_scale: float = 1.0
+    rgb_eps: float = 0.001
+    compute_dtype: str = 'bfloat16'   # 'bfloat16' | 'float32'
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
+
+    def test_mode(self) -> 'RenderConfig':
+        """Copy with stochasticity disabled (reference raycasters.py:170-178)."""
+        return dataclasses.replace(self, perturb=0.0, raw_noise_std=0.0,
+                                   ray_noise_std=0.0)
+
+
+def encode_inputs(cfg: RenderConfig,
+                  pts: jnp.ndarray,
+                  rays_d: jnp.ndarray,
+                  kps: jnp.ndarray,
+                  skts: jnp.ndarray,
+                  bones: Optional[jnp.ndarray],
+                  cutoff_dist: jnp.ndarray,
+                  tau: jnp.ndarray,
+                  alpha_sched: Optional[jnp.ndarray],
+                  ) -> Dict[str, jnp.ndarray]:
+    """Skeleton-relative encoding of query points (raycasters.py:476-555).
+
+    pts (R, S, 3), rays_d (R, 1, 3), kps (R, J, 3), skts (R, J, 4, 4).
+    Returns {'v','r','d'} embedded features.
+    """
+    kp_spec, _, _ = make_kp_encoder(cfg.kp_dist_type, cfg.skel)
+    bone_spec, bone_dims = make_bone_encoder(cfg.bone_type, cfg.skel)
+    view_spec, _ = make_view_encoder(cfg.view_type, cfg.skel)
+
+    pts_t = transform_batch_pts(pts, skts)          # (R, S, J, 3)
+    rays_t = transform_batch_rays(rays_d, skts)     # (R, 1, J, 3)
+
+    v = kp_spec(pts, pts_t, kps)
+    r = bone_spec(pts_t, bones=bones, refs=pts) if bone_dims > 0 else None
+    d = view_spec(rays_t, pts_t=pts_t,
+                  refs=None if cfg.view_type == 'relray' else pts)
+
+    # per-joint distances for the cutoff windows (raycasters.py:530-534)
+    if 'Dist' in kp_spec.name:
+        j_dists = v
+    else:
+        j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None], axis=-1)
+
+    v_e, _ = embed(cfg.embed_kp, v, dists=j_dists, cutoff_dist=cutoff_dist,
+                   tau=tau, alpha=alpha_sched)
+    r_e = None
+    if r is not None and cfg.embed_bone is not None:
+        r_e, _ = embed(cfg.embed_bone, r, dists=j_dists,
+                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched)
+    d_e = None
+    if cfg.use_viewdirs and cfg.embed_view is not None:
+        d_e, _ = embed(cfg.embed_view, d, dists=j_dists,
+                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched)
+        if d_e.shape[1] == 1:
+            d_e = jnp.broadcast_to(d_e, (d_e.shape[0], pts.shape[1],
+                                         d_e.shape[2]))
+    return {'v': v_e, 'r': r_e, 'd': d_e}
+
+
+def run_network(cfg: RenderConfig, params: Dict[str, Any],
+                encoded: Dict[str, jnp.ndarray],
+                framecodes: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Concatenate encodings and apply the MLP over all (R, S) points
+    (raycasters.py:557-577, without the netchunk loop)."""
+    parts = [encoded['v']]
+    if encoded['r'] is not None:
+        parts.append(encoded['r'])
+    pts_in = jnp.concatenate(parts, -1) if len(parts) > 1 else parts[0]
+    views_in = encoded['d']
+    fc = None
+    if framecodes is not None:
+        fc = jnp.broadcast_to(framecodes[:, None],
+                              pts_in.shape[:2] + (framecodes.shape[-1],))
+    return apply_nerf(params, cfg.nerf, pts_in, views_in, fc,
+                      compute_dtype=cfg.dtype)
+
+
+def _sample_pts(key, rays_o, rays_d, z_vals, ray_noise_std):
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    if ray_noise_std > 0.0 and key is not None:
+        pts = pts + jax.random.normal(key, pts.shape, pts.dtype) * ray_noise_std
+    return pts
+
+
+def render_rays(params: Dict[str, Any],
+                cfg: RenderConfig,
+                ray_batch: jnp.ndarray,
+                kp_batch: jnp.ndarray,
+                skts: jnp.ndarray,
+                bones: Optional[jnp.ndarray],
+                cyls: jnp.ndarray,
+                cam_idxs: Optional[jnp.ndarray] = None,
+                rng: Optional[jax.Array] = None,
+                tau: jnp.ndarray = jnp.float32(2000.0),
+                alpha_sched: Optional[jnp.ndarray] = None,
+                eval_framecode_mean: bool = False,
+                ) -> Dict[str, jnp.ndarray]:
+    """Volumetric rendering of a packed ray batch (raycasters.py:361-474).
+
+    ray_batch: (R, 8|11) packed [o, d, near, far, (viewdirs)].
+    params: {'coarse', 'fine', 'cutoff_dist'} pytree.
+    Returns dict with rgb_map/disp_map/acc_map/alpha (+ *0 coarse outputs).
+    """
+    keys = jax.random.split(rng, 5) if rng is not None else [None] * 5
+
+    rays_o, rays_d = ray_batch[:, 0:3], ray_batch[:, 3:6]
+    near, far = ray_batch[:, 6:7], ray_batch[:, 7:8]
+
+    near, far = get_near_far_in_cylinder(rays_o, rays_d, cyls,
+                                         near=near, far=far)
+    z_vals = sample_from_lineseg(keys[0], near, far, cfg.n_samples,
+                                 cfg.perturb, cfg.lindisp)
+    pts = _sample_pts(keys[1], rays_o, rays_d, z_vals, cfg.ray_noise_std)
+
+    cutoff_dist = params['cutoff_dist']
+    act_fn = get_density_fn(cfg.density_type, cfg.softplus_shift)
+
+    framecodes = None
+    if cfg.nerf.use_framecode and cam_idxs is not None:
+        framecodes = lookup_framecodes(params['coarse'], cam_idxs,
+                                       eval_mean=eval_framecode_mean)
+
+    encoded = encode_inputs(cfg, pts, rays_d[:, None, :], kp_batch, skts,
+                            bones, cutoff_dist, tau, alpha_sched)
+    raw = run_network(cfg, params['coarse'], encoded, framecodes)
+    ret = raw2outputs(raw, z_vals, rays_d, cfg.raw_noise_std, keys[2],
+                      cfg.density_scale, act_fn, cfg.rgb_eps)
+
+    ret0 = None
+    if cfg.n_importance > 0:
+        ret0 = ret
+        z_all, z_samples, sort_idxs = isample_from_lineseg(
+            keys[3], z_vals, ret0['weights'], cfg.n_importance,
+            det=(cfg.perturb == 0.0), is_only=cfg.single_net)
+        pts_is = _sample_pts(keys[4], rays_o, rays_d, z_samples,
+                             cfg.ray_noise_std)
+
+        fine_params = params['coarse'] if cfg.single_net else params['fine']
+        fc_fine = framecodes
+        if cfg.nerf.use_framecode and cam_idxs is not None \
+                and not cfg.single_net:
+            fc_fine = lookup_framecodes(params['fine'], cam_idxs,
+                                        eval_mean=eval_framecode_mean)
+
+        encoded_is = encode_inputs(cfg, pts_is, rays_d[:, None, :], kp_batch,
+                                   skts, bones, cutoff_dist, tau, alpha_sched)
+        if not cfg.single_net:
+            # run the fine network over the sorted union of samples
+            merged = {
+                k: merge_sorted(encoded[k], encoded_is[k], sort_idxs)
+                if encoded[k] is not None else None
+                for k in encoded}
+            raw_fine = run_network(cfg, fine_params, merged, fc_fine)
+        else:
+            # single-net: only the new samples go through the MLP
+            raw_is = run_network(cfg, fine_params, encoded_is, fc_fine)
+            raw_fine = merge_sorted(raw, raw_is, sort_idxs)
+        ret = raw2outputs(raw_fine, z_all, rays_d, cfg.raw_noise_std, keys[2],
+                          cfg.density_scale, act_fn, cfg.rgb_eps)
+
+    out = {'rgb_map': ret['rgb_map'], 'disp_map': ret['disp_map'],
+           'acc_map': ret['acc_map'], 'alpha': ret['alpha']}
+    if ret0 is not None:
+        out.update({'rgb0': ret0['rgb_map'], 'disp0': ret0['disp_map'],
+                    'acc0': ret0['acc_map'], 'alpha0': ret0['alpha']})
+    return out
+
+
+def render_pts_density(params: Dict[str, Any], cfg: RenderConfig,
+                       pts: jnp.ndarray, kps: jnp.ndarray,
+                       skts: jnp.ndarray, bones: Optional[jnp.ndarray],
+                       tau: jnp.ndarray = jnp.float32(2000.0),
+                       use_fine: bool = True) -> jnp.ndarray:
+    """Raw density of arbitrary query points (raycasters.py:597-648).
+
+    pts: (R, S, 3) with kps/skts broadcast (R may be 1). Returns (R, S, 1).
+    """
+    cutoff_dist = params['cutoff_dist']
+    encoded = encode_inputs(cfg, pts, jnp.zeros_like(pts[:, :1]),
+                            kps, skts, bones, cutoff_dist, tau, None)
+    parts = [encoded['v']]
+    if encoded['r'] is not None:
+        parts.append(encoded['r'])
+    pts_in = jnp.concatenate(parts, -1) if len(parts) > 1 else parts[0]
+    net = params['fine'] if (use_fine and params.get('fine') is not None) \
+        else params['coarse']
+    h = forward_density(net, cfg.nerf, pts_in, cfg.dtype)
+    return _dense(net['alpha_linear'], h, cfg.dtype)
+
+
+def render_mesh_density(params: Dict[str, Any], cfg: RenderConfig,
+                        kps: jnp.ndarray, skts: jnp.ndarray,
+                        bones: Optional[jnp.ndarray],
+                        radius: float = 1.0, res: int = 64,
+                        tau: jnp.ndarray = jnp.float32(2000.0)) -> jnp.ndarray:
+    """Density on a res^3 grid centered at the root joint
+    (raycasters.py:579-595). Returns (res+1, res+1, res+1) raw density."""
+    t = jnp.linspace(-radius, radius, res + 1)
+    grid = jnp.stack(jnp.meshgrid(t, t, t), axis=-1).astype(jnp.float32)
+    sh = grid.shape
+    pts = grid.reshape(1, -1, 3) + kps[0:1, 0:1]
+    sigma = render_pts_density(params, cfg, pts, kps[:1], skts[:1],
+                               None if bones is None else bones[:1], tau)
+    return sigma.reshape(sh[:-1]).swapaxes(0, 1)
