@@ -40,7 +40,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_ray_batch(mesh: Mesh, batch: Dict[str, Any],
                     ray_keys=('rays', 'target_s', 'fgs', 'bgs', 'cam_idxs',
-                              'pose_idx', 'cyls')) -> Dict[str, Any]:
+                              'pose_idx')) -> Dict[str, Any]:
     """Place per-ray arrays sharded on the data axis and everything else
     (per-image pose tables, frame indices) replicated."""
     data = batch_sharding(mesh)

@@ -179,7 +179,12 @@ def render_rays(params: Dict[str, Any],
     act_fn = get_density_fn(cfg.density_type, cfg.softplus_shift)
 
     framecodes = None
-    if cfg.nerf.use_framecode and cam_idxs is not None:
+    if cfg.nerf.use_framecode:
+        # cam_idxs=None (or render-time idx<0 semantics) -> mean code
+        # (reference embedding.py:21-22)
+        if cam_idxs is None:
+            cam_idxs = jnp.zeros((rays_o.shape[0],), jnp.int32)
+            eval_framecode_mean = True
         framecodes = lookup_framecodes(params['coarse'], cam_idxs,
                                        eval_mean=eval_framecode_mean)
 
@@ -200,8 +205,7 @@ def render_rays(params: Dict[str, Any],
 
         fine_params = params['coarse'] if cfg.single_net else params['fine']
         fc_fine = framecodes
-        if cfg.nerf.use_framecode and cam_idxs is not None \
-                and not cfg.single_net:
+        if cfg.nerf.use_framecode and not cfg.single_net:
             fc_fine = lookup_framecodes(params['fine'], cam_idxs,
                                         eval_mean=eval_framecode_mean)
 

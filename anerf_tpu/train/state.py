@@ -1,0 +1,87 @@
+"""TrainState pytree and optimizer construction.
+
+The reference carries state across two torch Adam optimizers, module buffers,
+and a pose layer (SURVEY §5 checkpoint); here everything lives in one
+registered dataclass pytree that flows through the jitted train step and is
+checkpointed wholesale with orbax.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray                      # int32 scalar
+    params: Dict[str, Any]                 # {'coarse','fine','cutoff_dist'}
+    opt_state: Any
+    pose_params: Optional[Dict[str, Any]]  # {'pelvis','bones',...} or None
+    pose_opt_state: Optional[Any]
+    pose_grad_acc: Optional[Dict[str, Any]]
+    anchors: Optional[Dict[str, Any]]      # {'kps','bones','rots'}
+
+
+def decay_schedule(lrate: float, lrate_decay: int, decay_rate: float,
+                   decay_unit: int):
+    """LR schedule matching reference decay_optimizer_lrate
+    (core/trainer.py:173-183): lr = lrate * rate^((count // unit) / decay).
+
+    Note the floor-div by decay_unit: decay happens in steps of decay_unit.
+    """
+    def sched(count):
+        unit_count = count // decay_unit
+        return lrate * decay_rate ** (unit_count / float(lrate_decay))
+    return sched
+
+
+def make_nerf_optimizer(lrate: float, lrate_decay: int, decay_rate: float,
+                        decay_unit: int) -> optax.GradientTransformation:
+    return optax.adam(
+        learning_rate=decay_schedule(lrate, lrate_decay, decay_rate,
+                                     decay_unit),
+        b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_pose_optimizer(lrate: float, lrate_decay: int, decay_rate: float,
+                        decay_unit: int) -> optax.GradientTransformation:
+    return optax.adam(
+        learning_rate=decay_schedule(lrate, lrate_decay, decay_rate,
+                                     decay_unit),
+        b1=0.9, b2=0.999, eps=1e-8)
+
+
+def tree_zeros_like(tree):
+    return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+
+def tree_select(pred, a, b):
+    """Elementwise pytree where(pred, a, b) with scalar pred."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def global_norm(tree) -> jnp.ndarray:
+    leaves = [jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree)]
+    return jnp.sqrt(jnp.sum(jnp.stack(leaves))) if leaves else jnp.float32(0)
+
+
+def grad_norms(tree):
+    """(total_norm, avg_norm) as in reference get_gradnorm
+    (trainer.py:191-203): avg over per-tensor norms."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.float32(0), jnp.float32(0)
+    sq = jnp.stack([jnp.sum(jnp.square(x)) for x in leaves])
+    total = jnp.sqrt(jnp.sum(sq))
+    avg = jnp.sqrt(jnp.sum(sq) / len(leaves))
+    return total, avg
