@@ -1,0 +1,113 @@
+"""Synthetic dataset fixtures in the canonical h5 schema.
+
+Generates a tiny SURREAL-like dataset: random SMPL poses on a camera ring,
+images rendered by splatting Gaussian blobs at projected joints. Gives tests
+and benchmarks a learnable end-to-end signal without any external data.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.cylinder import get_kp_bounding_cylinder
+from ..ops.fk import get_smpl_l2ws_np
+from ..ops.rays import nerf_c2w_to_extrinsic, world_to_cam_np
+from ..skeleton import smpl_rest_pose
+from .schema import write_h5
+
+
+def _look_at_c2w(cam_pos, target, up=(0.0, 1.0, 0.0)):
+    """NeRF-convention c2w: columns [right, up, -forward], -z looks at
+    target."""
+    cam_pos = np.asarray(cam_pos, np.float32)
+    forward = target - cam_pos
+    forward = forward / np.linalg.norm(forward)
+    right = np.cross(forward, np.asarray(up, np.float32))
+    right = right / np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -forward
+    c2w[:3, 3] = cam_pos
+    return c2w
+
+
+def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
+                      H: int = 64, W: int = 64, seed: int = 0,
+                      ext_scale: float = 0.3) -> dict:
+    """Write a synthetic dataset (SURREAL grid layout: N_cams x N_kps).
+
+    ext_scale=0.3 puts the body at ~1 unit tall, filling a good fraction of
+    the frame from the ~2.5-unit camera ring."""
+    rng = np.random.default_rng(seed)
+    rest = (smpl_rest_pose * ext_scale).astype(np.float32)
+
+    bones = (rng.normal(size=(n_kps, 24, 3)) * 0.15).astype(np.float32)
+    l2ws = np.stack([get_smpl_l2ws_np(b, rest_pose=rest) for b in bones])
+    kp3d = l2ws[..., :3, 3].astype(np.float32)
+    skts = np.linalg.inv(l2ws).astype(np.float32)
+    # fixture world is y-up (smpl rest pose head at +y)
+    cyls = get_kp_bounding_cylinder(kp3d, ext_scale=0.001, head='y')
+
+    focal = 1.2 * W
+    radius = 2.5
+    c2ws, imgs, masks = [], [], []
+    center_of_mass = kp3d.mean(axis=(0, 1))
+    for c in range(n_cams):
+        angle = 2 * np.pi * c / n_cams
+        cam_pos = center_of_mass + radius * np.array(
+            [np.sin(angle), 0.1, np.cos(angle)], np.float32)
+        c2w = _look_at_c2w(cam_pos, center_of_mass)
+        ext = nerf_c2w_to_extrinsic(c2w)
+        for k in range(n_kps):
+            kp2d = world_to_cam_np(kp3d[k], ext, H, W, focal)
+            img = np.zeros((H, W, 3), np.float32)
+            mask = np.zeros((H, W), np.uint8)
+            yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+            for j, (x, y) in enumerate(kp2d):
+                d2 = (xx - x) ** 2 + (yy - y) ** 2
+                blob = np.exp(-d2 / (2 * 2.5 ** 2))
+                color = np.array([0.2 + 0.8 * (j % 3 == 0),
+                                  0.2 + 0.8 * (j % 3 == 1),
+                                  0.2 + 0.8 * (j % 3 == 2)], np.float32)
+                img += blob[..., None] * color
+                mask |= (d2 < 6.0 ** 2)
+            img = np.clip(img, 0, 1)
+            # white background outside the blobs
+            img = img + (1.0 - np.clip(img.sum(-1, keepdims=True), 0, 1))
+            imgs.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+            masks.append(mask)
+        c2ws.append(c2w)
+
+    # camera grid: (n_cams,) expanded per image
+    c2ws = np.repeat(np.stack(c2ws), n_kps, axis=0).astype(np.float32)
+    imgs = np.stack(imgs)
+    masks = np.stack(masks)[..., None]
+    # dilate sampling mask by a few pixels
+    samp = masks.copy()[..., 0]
+    for _ in range(2):
+        samp = (samp
+                | np.roll(samp, 1, 0) | np.roll(samp, -1, 0)
+                | np.roll(samp, 1, 1) | np.roll(samp, -1, 1))
+    sampling_masks = samp[..., None].astype(np.uint8)
+
+    n_imgs = n_cams * n_kps
+    data = {
+        'imgs': imgs,
+        'masks': masks.astype(np.uint8),
+        'sampling_masks': sampling_masks,
+        'bkgds': (np.ones((1, H, W, 3)) * 255).astype(np.uint8),
+        'bkgd_idxs': np.zeros((n_imgs,), np.int64),
+        'kp3d': np.tile(kp3d, (1, 1, 1)),
+        'gt_kp3d': kp3d,
+        'bones': bones,
+        'skts': skts,
+        'cyls': cyls,
+        'rest_pose': rest,
+        'betas': np.zeros((1, 10), np.float32),
+        'c2ws': c2ws,
+        'focals': np.full((n_imgs,), focal, np.float32),
+        'ext_scale': float(ext_scale),
+    }
+    write_h5(path, data)
+    return data

@@ -1,0 +1,97 @@
+"""Checkpoint save/restore with orbax.
+
+The logical contents mirror the reference's monolithic .tar (SURVEY §5):
+global_step, NeRF params (coarse/fine), embedder state (cutoff_dist; tau is
+derived from step), both optimizer states, pose params + pose optimizer +
+anchors. Auto-resume picks the latest step in the experiment dir
+(reference raycasters.py:124-142); `finetune` loads weights but resets
+step/optimizer (cutoff_embedder.py:233-236).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _ckpt_dir(exp_dir: str) -> str:
+    return os.path.join(os.path.abspath(exp_dir), 'checkpoints')
+
+
+def save_checkpoint(exp_dir: str, state: TrainState, step: int,
+                    keep: int = 3) -> str:
+    path = _ckpt_dir(exp_dir)
+    os.makedirs(path, exist_ok=True)
+    with ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                       create=True)) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+    return os.path.join(path, str(step))
+
+
+def latest_checkpoint_step(exp_dir: str) -> Optional[int]:
+    path = _ckpt_dir(exp_dir)
+    if not os.path.isdir(path):
+        return None
+    with ocp.CheckpointManager(path) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(exp_dir: str, target: TrainState,
+                       step: Optional[int] = None) -> Optional[TrainState]:
+    """Restore into the structure of `target` (abstract pytree)."""
+    path = _ckpt_dir(exp_dir)
+    if not os.path.isdir(path):
+        return None
+    with ocp.CheckpointManager(path) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          target)
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+def save_pose_checkpoint(exp_dir: str, state: TrainState, step: int) -> str:
+    """Pose-only snapshot (reference save_popt, trainer.py:508-516)."""
+    path = os.path.join(os.path.abspath(exp_dir), 'pose_checkpoints',
+                        f'{step:08d}')
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        'global_step': step,
+        'pose_params': jax.tree_util.tree_map(np.asarray, state.pose_params),
+        'anchors': jax.tree_util.tree_map(np.asarray, state.anchors),
+    }
+    np.savez(path + '.npz', **_flatten(payload))
+    return path + '.npz'
+
+
+def _flatten(tree, prefix=''):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f'{prefix}{k}/'))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def load_pose_checkpoint(path: str):
+    """Load a pose-only snapshot back into nested dicts."""
+    flat = dict(np.load(path))
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split('/')
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out

@@ -1,0 +1,252 @@
+"""Training orchestration: setup, iteration loop, logging, checkpoints, val.
+
+The TPU equivalent of run_nerf.py:491-625 + Trainer wiring
+(core/trainer.py:205-290). All device work happens in the jitted train step;
+this loop only feeds prefetched batches, logs scalars, and handles periodic
+checkpoint/validation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig, save_args_txt
+from ..data.pipeline import BatchLoader
+from ..parallel.mesh import make_mesh, shard_ray_batch
+from ..pose.pose_opt import (PoseOptConfig, init_pose_params,
+                             pose_anchor_tree)
+from ..render.factory import build_render_config, init_render_params
+from ..render.render_path import render_path
+from ..utils.metrics import evaluate_metric_arrays
+from .checkpoint import (restore_checkpoint, save_checkpoint,
+                         save_pose_checkpoint)
+from .state import (TrainState, make_nerf_optimizer, make_pose_optimizer,
+                    tree_zeros_like)
+from .trainer import derive_schedules, make_train_step
+
+
+def get_dataset(args: TrainConfig):
+    """Dataset construction facade (reference core/load_data.py:87-143)."""
+    from ..data.catalog import get_dataset_from_catalog
+    from ..data.dataset import ConcatH5Dataset
+
+    subject, dataset_type = list(args.subject), list(args.dataset_type)
+    if len(subject) > len(dataset_type):
+        assert len(dataset_type) == 1
+        dataset_type = dataset_type * len(subject)
+
+    n_samples = args.N_rand // args.N_sample_images
+    n_nms = n_samples * args.P_nms
+    datasets = [get_dataset_from_catalog(args, n_samples, d, s, n_nms)
+                for d, s in zip(dataset_type, subject)]
+    if len(datasets) == 1:
+        return datasets[0]
+    return ConcatH5Dataset(datasets)
+
+
+@dataclasses.dataclass
+class TrainContext:
+    args: TrainConfig
+    cfg: Any
+    state: TrainState
+    step_fn: Any
+    loader: Any
+    data_attrs: Dict[str, Any]
+    render_data: Dict[str, Any]
+    mesh: Any
+    optimizer: Any
+    pose_optimizer: Any
+    pose_cfg: Optional[PoseOptConfig]
+    rest_pose: Optional[jnp.ndarray]
+    exp_dir: str
+    start_step: int
+
+
+def setup(args: TrainConfig, dataset=None) -> TrainContext:
+    exp_dir = os.path.join(args.basedir, args.expname)
+    os.makedirs(exp_dir, exist_ok=True)
+    save_args_txt(args, exp_dir)
+
+    if dataset is None:
+        dataset = get_dataset(args)
+    data_attrs = dataset.get_meta()
+    render_data = dataset.get_render_data()
+    loader = BatchLoader(dataset, n_images=args.N_sample_images,
+                         prefetch=4, seed=args.seed)
+
+    cfg = build_render_config(args, data_attrs)
+    key = jax.random.PRNGKey(args.seed)
+    params = init_render_params(key, args, cfg)
+
+    optimizer = make_nerf_optimizer(args.lrate, args.lrate_decay,
+                                    args.lrate_decay_rate, args.decay_unit)
+
+    pose_cfg = None
+    pose_optimizer = None
+    pose_params = pose_opt_state = pose_acc = anchors = None
+    rest_pose = None
+    if args.opt_pose:
+        pose_cfg = PoseOptConfig(use_rot6d=args.opt_rot6d,
+                                 skel=data_attrs['skel_type'],
+                                 multiview=args.multiview)
+        pose_optimizer = make_pose_optimizer(
+            args.opt_pose_lrate, args.opt_pose_lrate_decay,
+            args.opt_pose_decay_rate, args.opt_pose_decay_unit)
+        pose_params = init_pose_params(
+            data_attrs['kp3d'], data_attrs['bones'], pose_cfg,
+            kp_map=data_attrs.get('kp_map'),
+            kp_uidxs=data_attrs.get('kp_uidxs'))
+        pose_opt_state = pose_optimizer.init(pose_params)
+        pose_acc = tree_zeros_like(pose_params)
+        anchors = pose_anchor_tree(data_attrs['kp3d'], data_attrs['bones'])
+        rest_pose = jnp.asarray(
+            data_attrs['rest_pose'].reshape(-1, 3)[None]
+            if data_attrs['rest_pose'].ndim == 2
+            else data_attrs['rest_pose'][:1])
+    elif 'rest_pose' in data_attrs:
+        rest_pose = jnp.asarray(np.asarray(data_attrs['rest_pose']))
+
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=optimizer.init(params),
+                       pose_params=pose_params,
+                       pose_opt_state=pose_opt_state,
+                       pose_grad_acc=pose_acc,
+                       anchors=anchors)
+
+    start_step = 0
+    if not args.no_reload:
+        restored = restore_checkpoint(exp_dir, state)
+        if restored is not None:
+            state = restored
+            start_step = int(state.step)
+            print(f'resumed from step {start_step}')
+            if args.finetune:
+                # weights only: reset step + optimizer states
+                # (reference raycasters.py:140-142)
+                state = dataclasses.replace(
+                    state, step=jnp.int32(0),
+                    opt_state=optimizer.init(state.params))
+                start_step = 0
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(args.mesh_shape)
+
+    pose_frozen = (args.opt_pose_stop is not None
+                   and start_step >= args.opt_pose_stop)
+    tau_fixed = None
+    if args.finetune or not args.use_cutoff:
+        # finetune keeps the annealed tau (effectively saturated)
+        tau_fixed = 2000.0 if args.finetune else None
+    step_fn = make_train_step(args, cfg, pose_cfg, rest_pose, optimizer,
+                              pose_optimizer, pose_frozen=pose_frozen,
+                              tau_fixed=tau_fixed)
+
+    return TrainContext(args=args, cfg=cfg, state=state, step_fn=step_fn,
+                        loader=loader, data_attrs=data_attrs,
+                        render_data=render_data, mesh=mesh,
+                        optimizer=optimizer, pose_optimizer=pose_optimizer,
+                        pose_cfg=pose_cfg, rest_pose=rest_pose,
+                        exp_dir=exp_dir, start_step=start_step)
+
+
+def run_validation(ctx: TrainContext, step: int,
+                   max_images: int = 4) -> Dict[str, float]:
+    """Periodic held-out render + PSNR/SSIM (run_nerf.py:555-602)."""
+    args, rd = ctx.args, ctx.render_data
+    n = min(max_images, len(rd['c2ws']))
+    tau, _ = derive_schedules(args, ctx.cfg, jnp.int32(step))
+
+    H, W, focals = rd['hwf']
+    out = render_path(
+        ctx.state.params, ctx.cfg,
+        rd['c2ws'][:n], (H[:n], W[:n], focals[:n]),
+        rd['kp3d'][:n], rd['skts'][:n], rd['bones'][:n],
+        cam_idxs=rd['cam_idxs'][:n] if args.opt_framecode else None,
+        centers=None if rd.get('center') is None else rd['center'][:n],
+        bgs=rd.get('bgs'), bg_idxs=rd.get('bg_idxs'),
+        tau=float(tau), chunk=args.chunk, ext_scale=args.ext_scale,
+        use_framecode_idx=args.opt_framecode)
+
+    metrics = evaluate_metric_arrays(out['rgbs'], rd['imgs'][:n],
+                                     fgs=rd['fgs'][:n])
+    return metrics
+
+
+def train(args: TrainConfig, dataset=None,
+          n_iters: Optional[int] = None,
+          log_fn=None) -> TrainContext:
+    """Main training loop. Returns the final context."""
+    ctx = setup(args, dataset)
+    n_iters = n_iters if n_iters is not None else args.n_iters
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    metrics_path = os.path.join(ctx.exp_dir, 'metrics.jsonl')
+    log_f = open(metrics_path, 'a')
+
+    ctx.loader.start()
+    state = ctx.state
+    step_fn = ctx.step_fn
+    pose_frozen_rebuilt = False
+
+    t_start = time.time()
+    rays_done = 0
+    try:
+        for i in range(ctx.start_step, n_iters):
+            # pose freeze threshold crossing: rebuild step fn once
+            if (args.opt_pose and not pose_frozen_rebuilt
+                    and args.opt_pose_stop is not None
+                    and i >= args.opt_pose_stop):
+                step_fn = make_train_step(
+                    args, ctx.cfg, ctx.pose_cfg, ctx.rest_pose,
+                    ctx.optimizer, ctx.pose_optimizer, pose_frozen=True)
+                pose_frozen_rebuilt = True
+
+            batch = ctx.loader.next()
+            if ctx.mesh is not None:
+                batch = shard_ray_batch(ctx.mesh, batch)
+            state, out = step_fn(state, batch, jax.random.fold_in(key, i))
+            rays_done += args.N_rand
+
+            if (i + 1) % args.i_print == 0:
+                stats = {k: float(v) for k, v in out['stats'].items()}
+                losses = {k: float(v) for k, v in out['losses'].items()}
+                dt = time.time() - t_start
+                rec = {'step': i + 1, 'rays_per_sec': rays_done / dt,
+                       **losses, **stats}
+                log_f.write(json.dumps(rec) + '\n')
+                log_f.flush()
+                if log_fn:
+                    log_fn(rec)
+                else:
+                    print(f"[{i + 1}] loss={losses['total_loss']:.4f} "
+                          f"psnr={stats.get('psnr', 0):.2f} "
+                          f"rays/s={rec['rays_per_sec']:.0f}")
+
+            if (i + 1) % args.i_weights == 0:
+                ctx.state = state
+                save_checkpoint(ctx.exp_dir, state, i + 1)
+            if args.opt_pose and (i + 1) % args.i_pose_weights == 0:
+                ctx.state = state
+                save_pose_checkpoint(ctx.exp_dir, state, i + 1)
+            if (i + 1) % args.i_testset == 0:
+                ctx.state = state
+                val = run_validation(ctx, i + 1)
+                rec = {'step': i + 1, 'val': val}
+                log_f.write(json.dumps(rec) + '\n')
+                log_f.flush()
+                print(f'[val {i + 1}] ' + ' '.join(
+                    f'{k}={v:.3f}' for k, v in val.items()))
+    finally:
+        ctx.loader.stop()
+        log_f.close()
+
+    ctx.state = state
+    return ctx

@@ -1,0 +1,78 @@
+"""Benchmark: training + render throughput of the flagship SURREAL recipe.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": R}
+
+The north-star metric (BASELINE.md) is rays/sec/chip on the SURREAL recipe
+(N_rand 2048, 64+16 samples, multires 7/4, cutoff PE, full 8x256 MLP).
+vs_baseline is measured against a reference-implementation A100 estimate of
+~120k train rays/s (the reference publishes no numbers; see BASELINE.md —
+this constant documents the assumption and is revised when a measured
+baseline lands).
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Assumed reference (torch, A100) training throughput for the SURREAL recipe.
+REFERENCE_TRAIN_RAYS_PER_SEC = 120_000.0
+
+
+def main():
+    from __graft_entry__ import _batch, _flagship
+    from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
+                                         pose_anchor_tree)
+    from anerf_tpu.train.state import (TrainState, make_nerf_optimizer,
+                                       make_pose_optimizer, tree_zeros_like)
+    from anerf_tpu.train.trainer import make_train_step
+
+    n_rays = 2048  # SURREAL recipe N_rand
+    args, cfg, params, pose = _flagship(n_rays=n_rays, n_images=128)
+
+    pose_cfg = PoseOptConfig(use_rot6d=args.opt_rot6d)
+    opt = make_nerf_optimizer(args.lrate, args.lrate_decay,
+                              args.lrate_decay_rate, args.decay_unit)
+    popt = make_pose_optimizer(args.opt_pose_lrate,
+                               args.opt_pose_lrate_decay,
+                               args.opt_pose_decay_rate,
+                               args.opt_pose_decay_unit)
+    pose_params = init_pose_params(pose['kp3d'], pose['bones'], pose_cfg)
+    state = TrainState(
+        step=jnp.int32(0), params=params, opt_state=opt.init(params),
+        pose_params=pose_params, pose_opt_state=popt.init(pose_params),
+        pose_grad_acc=tree_zeros_like(pose_params),
+        anchors=pose_anchor_tree(pose['kp3d'], pose['bones']))
+
+    rest = jnp.asarray(pose['rest_pose'])
+    step_fn = make_train_step(args, cfg, pose_cfg, rest, opt, popt)
+
+    batch = _batch(pose, n_rays, 8)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state, _ = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, out = step_fn(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * n_iters / dt
+    print(json.dumps({
+        'metric': 'train_rays_per_sec',
+        'value': round(rays_per_sec, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_per_sec / REFERENCE_TRAIN_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Render CLI (equivalent of reference run_render.py:988-1045).
+
+Loads a trained experiment (args.txt + checkpoint — either a native orbax
+checkpoint or a reference torch .tar), builds poses/cameras for the chosen
+render mode, renders, optionally evaluates, writes pngs/mp4/bboxes.
+
+Usage:
+  python run_render.py --nerf_args logs/exp/args.txt \
+      --ckptpath logs/exp/checkpoints \
+      --dataset surreal --entry female --render_type bullet \
+      --runname surreal_bullet [--eval]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def config_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument('--nerf_args', type=str, required=True,
+                   help='path to args.txt of the trained experiment')
+    p.add_argument('--ckptpath', type=str, required=True,
+                   help='path to checkpoint (orbax dir or reference .tar)')
+    p.add_argument('--render_res', nargs='+', type=int, default=None,
+                   help='(H, W) for rendering; default = training res')
+    p.add_argument('--dataset', type=str, required=True)
+    p.add_argument('--entry', type=str, required=True)
+    p.add_argument('--white_bkgd', action='store_true')
+    p.add_argument('--render_type', type=str, default='retarget')
+    p.add_argument('--save_gt', action='store_true')
+    p.add_argument('--fps', type=int, default=14)
+    p.add_argument('--mesh_res', type=int, default=255)
+    p.add_argument('--mesh_thres', type=float, default=10.0)
+    p.add_argument('--render_refined', action='store_true')
+    p.add_argument('--subject_idx', type=int, default=0)
+    p.add_argument('--selected_idxs', nargs='+', type=int, default=None)
+    p.add_argument('--selected_framecode', type=int, default=None)
+    p.add_argument('--outputdir', type=str, default='render_output/')
+    p.add_argument('--runname', type=str, required=True)
+    p.add_argument('--eval', action='store_true')
+    p.add_argument('--no_save', action='store_true')
+    return p
+
+
+def load_model(args, nerf_args):
+    """Load params from a native orbax ckpt or a reference .tar."""
+    import jax
+
+    from anerf_tpu.render.factory import (build_render_config,
+                                          init_render_params)
+    from anerf_tpu.skeleton import SMPLSkeleton
+
+    tau = 2000.0
+    if args.ckptpath.endswith('.tar'):
+        from anerf_tpu.pose.ckpt_compat import load_reference_checkpoint
+        params, extras = load_reference_checkpoint(args.ckptpath)
+        if extras['tau'] is not None:
+            tau = extras['tau']
+        n_views = None
+        if 'framecodes' in params['coarse']:
+            n_views = params['coarse']['framecodes']['codes'].shape[0]
+        data_attrs = {'skel_type': SMPLSkeleton,
+                      'n_views': n_views or 1, 'rest_pose': None}
+        cfg = build_render_config(nerf_args, data_attrs)
+        pose_sd = extras['poseopt_state_dict']
+        return cfg, params, pose_sd, tau
+
+    # native checkpoint: need data_attrs to rebuild the config/params tree
+    from anerf_tpu.train.loop import get_dataset, setup
+    import dataclasses
+    nerf_args = dataclasses.replace(nerf_args, no_reload=False)
+    ctx = setup(nerf_args)
+    from anerf_tpu.train.trainer import derive_schedules
+    import jax.numpy as jnp
+    tau_arr, _ = derive_schedules(nerf_args, ctx.cfg, ctx.state.step)
+    return ctx.cfg, ctx.state.params, None, float(tau_arr)
+
+
+def build_pose_source(args, nerf_args, entry, pose_sd):
+    """PoseSource from the entry h5 (or refined poses)."""
+    import h5py
+
+    from anerf_tpu.render.modes import PoseSource
+
+    data_h5 = entry['data_h5']
+    with h5py.File(data_h5, 'r', swmr=True) as f:
+        kps = f['kp3d'][:]
+        bones = f['bones'][:]
+        c2ws = f['c2ws'][:]
+        focals = f['focals'][:]
+        rest_pose = f['rest_pose'][:]
+
+    if args.render_refined and pose_sd is not None:
+        from anerf_tpu.pose.ckpt_compat import pose_ckpt_to_pose_data
+        kp3d, bones_r, _, _, rest_r, _ = pose_ckpt_to_pose_data(
+            popt_sd=pose_sd)
+        kps, bones, rest_pose = kp3d, bones_r, rest_r
+    elif args.render_refined and entry.get('refined') and \
+            os.path.exists(entry['refined']):
+        from anerf_tpu.pose.ckpt_compat import pose_ckpt_to_pose_data
+        kp3d, bones_r, _, _, rest_r, _ = pose_ckpt_to_pose_data(
+            entry['refined'], legacy=True)
+        kps, bones, rest_pose = kp3d, bones_r, rest_r
+
+    return PoseSource(kps=kps, bones=bones, c2ws=c2ws, focals=focals,
+                      rest_pose=rest_pose), data_h5
+
+
+def run_render(args):
+    import imageio
+
+    from anerf_tpu.config import load_args_txt
+    from anerf_tpu.render import modes
+    from anerf_tpu.render.catalog import init_catalog
+    from anerf_tpu.render.render_path import render_path
+
+    nerf_args = load_args_txt(args.nerf_args)
+    cfg, params, pose_sd, tau = load_model(args, nerf_args)
+
+    catalog = init_catalog()[args.dataset][args.entry]
+    mode_kwargs = dict(catalog.get(args.render_type, {}))
+    if args.selected_idxs is not None:
+        mode_kwargs['selected_idxs'] = np.array(args.selected_idxs)
+
+    src, data_h5 = build_pose_source(args, nerf_args, catalog, pose_sd)
+
+    import h5py
+    with h5py.File(data_h5, 'r', swmr=True) as f:
+        img_shape = f['img_shape'][:]
+    H, W = (args.render_res if args.render_res
+            else (int(img_shape[1]), int(img_shape[2])))
+
+    rtype = args.render_type
+    if rtype == 'mesh':
+        return render_mesh_mode(args, cfg, params, src, mode_kwargs, tau)
+
+    builders = {
+        'bullet': modes.load_bullettime,
+        'interpolate': modes.load_interpolate,
+        'animate': modes.load_animate,
+        'poserot': modes.load_pose_rotate,
+        'bubble': modes.load_bubble,
+        'selected': modes.load_selected,
+        'val': modes.load_selected,
+        'retarget': modes.load_selected,
+    }
+    if rtype not in builders:
+        raise NotImplementedError(f'render_type {rtype} not implemented')
+    kwargs = {k: v for k, v in mode_kwargs.items()
+              if k not in ('length', 'skip', 'is_surreal', 'is_neuralbody',
+                           'undo_rot') or rtype not in ('val', 'selected',
+                                                        'retarget')}
+    data = builders[rtype](src, **kwargs)
+
+    cam_idxs = data['cam_idxs']
+    if args.selected_framecode is not None:
+        cam_idxs = np.full_like(cam_idxs, args.selected_framecode)
+
+    out = render_path(
+        params, cfg, data['c2ws'], (H, W, data['focals']),
+        data['kp3d'], data['skts'], data.get('bones'),
+        cam_idxs=cam_idxs, tau=tau, chunk=nerf_args.chunk,
+        ext_scale=nerf_args.ext_scale, white_bkgd=True,
+        use_framecode_idx=nerf_args.opt_framecode, verbose=True)
+
+    outdir = os.path.join(args.outputdir, args.dataset, args.runname)
+    os.makedirs(os.path.join(outdir, 'image'), exist_ok=True)
+    if not args.no_save:
+        for i, rgb in enumerate(out['rgbs']):
+            imageio.imwrite(
+                os.path.join(outdir, 'image', f'{i:05d}.png'),
+                (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        np.save(os.path.join(outdir, 'bboxes.npy'), out['bboxes'])
+        try:
+            imageio.mimwrite(os.path.join(outdir, f'{args.runname}.mp4'),
+                             (np.clip(out['rgbs'], 0, 1) * 255).astype(
+                                 np.uint8), fps=args.fps)
+        except Exception as e:
+            print(f'video write skipped: {e}')
+
+    if args.eval:
+        evaluate(args, out, data_h5, mode_kwargs, outdir, H, W)
+    return out
+
+
+def evaluate(args, out, data_h5, mode_kwargs, outdir, H, W):
+    """Box-cropped PSNR/SSIM against held-out frames
+    (reference run_render.py:883-968)."""
+    import h5py
+
+    from anerf_tpu.utils.metrics import evaluate_metric_arrays
+
+    sel = mode_kwargs.get('selected_idxs')
+    with h5py.File(data_h5, 'r', swmr=True) as f:
+        gts = f['imgs'][np.sort(np.asarray(sel))].reshape(
+            -1, H, W, 3).astype(np.float32) / 255.
+        fgs = f['masks'][np.sort(np.asarray(sel))].reshape(-1, H, W, 1)
+    metrics = evaluate_metric_arrays(out['rgbs'], gts, fgs=fgs,
+                                     boxes=out['bboxes'])
+    print('eval:', metrics)
+    with open(os.path.join(outdir, 'metrics.txt'), 'w') as f:
+        for k, v in metrics.items():
+            f.write(f'{k}: {v}\n')
+    return metrics
+
+
+def render_mesh_mode(args, cfg, params, src, mode_kwargs, tau):
+    """Marching-tetrahedra mesh extraction (reference run_render.py:970-986
+    with PyMCubes replaced by utils/marching.py)."""
+    import jax.numpy as jnp
+
+    from anerf_tpu.ops.fk import get_smpl_l2ws_np
+    from anerf_tpu.render.raycaster import render_mesh_density
+    from anerf_tpu.utils.marching import marching_tetrahedra, save_ply
+
+    sel = mode_kwargs.get('selected_idxs', np.array([0]))
+    outdir = os.path.join(args.outputdir, args.dataset, args.runname,
+                          'meshes')
+    os.makedirs(outdir, exist_ok=True)
+    radius = 1.3
+    res = args.mesh_res
+    for i in sel:
+        bones = src.bones[i]
+        l2ws = get_smpl_l2ws_np(bones, src.rest_pose)
+        l2ws[..., :3, -1] += src.kps[i, :1]
+        kps = l2ws[..., :3, -1][None]
+        skts = np.linalg.inv(l2ws)[None]
+        sigma = np.asarray(render_mesh_density(
+            params, cfg, jnp.asarray(kps), jnp.asarray(skts),
+            jnp.asarray(bones[None]), radius=radius, res=res,
+            tau=jnp.float32(tau)))
+        verts, faces = marching_tetrahedra(sigma, args.mesh_thres)
+        # voxel -> world coordinates
+        verts = verts / res * 2 * radius - radius + src.kps[i, 0]
+        path = os.path.join(outdir, f'mesh_{i:05d}.ply')
+        save_ply(path, verts, faces)
+        print(f'saved {path}: {len(verts)} verts, {len(faces)} faces')
+
+
+if __name__ == '__main__':
+    run_render(config_parser().parse_args())

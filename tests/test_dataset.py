@@ -1,0 +1,102 @@
+"""Data layer: synthetic h5 fixture -> dataset -> batches."""
+import numpy as np
+import pytest
+
+from anerf_tpu.data.dataset import BaseH5Dataset, ConcatH5Dataset
+from anerf_tpu.data.fixtures import make_synthetic_h5
+from anerf_tpu.data.pipeline import (BatchLoader, ImagePermutationSampler,
+                                     assemble_batch)
+from anerf_tpu.data.surreal import SurrealDataset
+
+
+@pytest.fixture(scope='module')
+def h5_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp('data') / 'synthetic_train_h5py.h5'
+    make_synthetic_h5(str(p), n_kps=6, n_cams=2, H=48, W=48)
+    return str(p)
+
+
+def test_dataset_meta(h5_path):
+    ds = SurrealDataset(h5_path, N_samples=32, split='train')
+    assert len(ds) == 12
+    meta = ds.get_meta()
+    assert meta['kp3d'].shape == (6, 24, 3)  # one row per unique kp
+    assert meta['rest_pose'].shape == (24, 3)
+    assert meta['n_views'] == 2
+    rd = ds.get_render_data()
+    assert rd['imgs'].shape[1:] == (48, 48, 3)
+
+
+def test_get_item_contract(h5_path):
+    ds = SurrealDataset(h5_path, N_samples=32, split='train')
+    it = ds.get_item(7)
+    assert it['rays_o'].shape == (32, 3)
+    assert it['rays_d'].shape == (32, 3)
+    assert it['target_s'].shape == (32, 3)
+    assert it['kp3d'].shape == (1, 24, 3)
+    assert it['skts'].shape == (1, 24, 4, 4)
+    assert it['cyls'].shape == (1, 5)
+    # surreal index arithmetic: image 7 of (2 cams x 6 kps) grid
+    assert int(it['kp_idx']) == 7 % 6
+    assert int(it['cam_idxs']) == 7 // 6
+    assert np.isfinite(it['rays_d']).all()
+
+
+def test_sampled_pixels_in_mask(h5_path):
+    ds = SurrealDataset(h5_path, N_samples=16, split='train')
+    ds.init_dataset()
+    for q in range(4):
+        idxs = ds.sample_pixels(q, q)
+        mask = ds.dataset['sampling_masks'][q].reshape(-1)
+        assert (mask[idxs] > 0).all()
+
+
+def test_assemble_batch_contract(h5_path):
+    ds = SurrealDataset(h5_path, N_samples=16, split='train')
+    sampler = ImagePermutationSampler(len(ds), 4, seed=0)
+    batch = assemble_batch(ds, sampler.next_batch())
+    assert batch['rays'].shape == (64, 11)
+    assert batch['target_s'].shape == (64, 3)
+    assert batch['kp_idxs'].shape == (4,)
+    assert batch['kp3d'].shape == (4, 24, 3)
+    assert batch['pose_idx'].shape == (64,)
+    assert batch['pose_idx'].max() == 3
+    # viewdirs are normalized rays_d
+    vd = batch['rays'][:, 8:11]
+    np.testing.assert_allclose(np.linalg.norm(vd, axis=-1), 1.0, atol=1e-5)
+
+
+def test_sampler_covers_all_images():
+    s = ImagePermutationSampler(10, 4, seed=1)
+    seen = []
+    for _ in range(5):
+        seen.extend(s.next_batch().tolist())
+    # after 2 epochs worth of draws every image appeared
+    assert set(seen) == set(range(10))
+
+
+def test_batch_loader_prefetch(h5_path):
+    ds = SurrealDataset(h5_path, N_samples=16, split='train')
+    loader = BatchLoader(ds, n_images=4, prefetch=2, seed=0).start()
+    try:
+        b1 = loader.next()
+        b2 = loader.next()
+        assert b1['rays'].shape == b2['rays'].shape == (64, 11)
+    finally:
+        loader.stop()
+
+
+def test_concat_dataset(h5_path, tmp_path):
+    p2 = str(tmp_path / 'second_train_h5py.h5')
+    make_synthetic_h5(p2, n_kps=4, n_cams=2, H=48, W=48, seed=3)
+    d1 = SurrealDataset(h5_path, N_samples=8, split='train')
+    d2 = SurrealDataset(p2, N_samples=8, split='train')
+    cat = ConcatH5Dataset([d1, d2])
+    assert len(cat) == len(d1) + len(d2)
+    it = cat.get_item(len(d1) + 1)
+    assert int(it['subject_idxs']) == 1
+    assert int(it['kp_idx']) >= len(d1.kp3d)
+    meta = cat.get_meta()
+    assert meta['n_subjects'] == 2
+    assert meta['rest_pose'].shape == (2, 24, 3)
+    assert meta['rest_pose_idxs'].shape == (len(d1.kp3d) + len(d2.kp3d),)
