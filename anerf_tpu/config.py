@@ -160,6 +160,7 @@ class TrainConfig:
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all
     compute_dtype: str = 'bfloat16'    # MLP matmul dtype
     use_pallas: bool = True            # fused render kernel where available
+    scan_unroll: int = 8               # train steps fused per device dispatch
     seed: int = 0
 
 

@@ -27,8 +27,7 @@ from ..ops.embedder import EmbedConfig, embed
 from ..ops.encoding import (make_bone_encoder, make_kp_encoder,
                             make_view_encoder, transform_batch_pts,
                             transform_batch_rays)
-from ..ops.sampling import (isample_from_lineseg, merge_sorted,
-                            sample_from_lineseg)
+from ..ops.sampling import isample_from_lineseg, sample_from_lineseg
 from ..skeleton import Skeleton, SMPLSkeleton
 
 
@@ -211,17 +210,22 @@ def render_rays(params: Dict[str, Any],
 
         encoded_is = encode_inputs(cfg, pts_is, rays_d[:, None, :], kp_batch,
                                    skts, bones, cutoff_dist, tau, alpha_sched)
+        # The MLP is pointwise, so sample ORDER is irrelevant until
+        # compositing: run it on the unsorted [coarse ++ new] concat and sort
+        # only the (R, S+I, 4) raw outputs. (The reference instead sorts the
+        # full merged encodings before the MLP, raycasters.py:456-469 — a
+        # >100x-larger gather that lowers catastrophically on TPU.)
         if not cfg.single_net:
-            # run the fine network over the sorted union of samples
-            merged = {
-                k: merge_sorted(encoded[k], encoded_is[k], sort_idxs)
+            cat_enc = {
+                k: jnp.concatenate([encoded[k], encoded_is[k]], axis=1)
                 if encoded[k] is not None else None
                 for k in encoded}
-            raw_fine = run_network(cfg, fine_params, merged, fc_fine)
+            raw_all = run_network(cfg, fine_params, cat_enc, fc_fine)
         else:
             # single-net: only the new samples go through the MLP
             raw_is = run_network(cfg, fine_params, encoded_is, fc_fine)
-            raw_fine = merge_sorted(raw, raw_is, sort_idxs)
+            raw_all = jnp.concatenate([raw, raw_is], axis=1)
+        raw_fine = jnp.take_along_axis(raw_all, sort_idxs[..., None], axis=1)
         ret = raw2outputs(raw_fine, z_all, rays_d, cfg.raw_noise_std, keys[2],
                           cfg.density_scale, act_fn, cfg.rgb_eps)
 

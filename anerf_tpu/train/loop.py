@@ -29,7 +29,8 @@ from .checkpoint import (restore_checkpoint, save_checkpoint,
                          save_pose_checkpoint)
 from .state import (TrainState, make_nerf_optimizer, make_pose_optimizer,
                     tree_zeros_like)
-from .trainer import derive_schedules, make_train_step
+from .trainer import (derive_schedules, make_train_step,
+                      make_train_step_scan, stack_batches)
 
 
 def get_dataset(args: TrainConfig):
@@ -145,9 +146,15 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
     if args.finetune or not args.use_cutoff:
         # finetune keeps the annealed tau (effectively saturated)
         tau_fixed = 2000.0 if args.finetune else None
-    step_fn = make_train_step(args, cfg, pose_cfg, rest_pose, optimizer,
-                              pose_optimizer, pose_frozen=pose_frozen,
-                              tau_fixed=tau_fixed)
+    step_kwargs = dict(pose_frozen=pose_frozen, tau_fixed=tau_fixed)
+    if args.scan_unroll > 1:
+        step_fn = make_train_step_scan(args, cfg, pose_cfg, rest_pose,
+                                       optimizer, pose_optimizer,
+                                       unroll=args.scan_unroll,
+                                       **step_kwargs)
+    else:
+        step_fn = make_train_step(args, cfg, pose_cfg, rest_pose, optimizer,
+                                  pose_optimizer, **step_kwargs)
 
     return TrainContext(args=args, cfg=cfg, state=state, step_fn=step_fn,
                         loader=loader, data_attrs=data_attrs,
@@ -196,26 +203,42 @@ def train(args: TrainConfig, dataset=None,
     step_fn = ctx.step_fn
     pose_frozen_rebuilt = False
 
+    unroll = max(1, args.scan_unroll)
     t_start = time.time()
     rays_done = 0
     try:
-        for i in range(ctx.start_step, n_iters):
+        for i in range(ctx.start_step, n_iters, unroll):
             # pose freeze threshold crossing: rebuild step fn once
             if (args.opt_pose and not pose_frozen_rebuilt
                     and args.opt_pose_stop is not None
                     and i >= args.opt_pose_stop):
-                step_fn = make_train_step(
-                    args, ctx.cfg, ctx.pose_cfg, ctx.rest_pose,
-                    ctx.optimizer, ctx.pose_optimizer, pose_frozen=True)
+                mk = (make_train_step_scan if unroll > 1
+                      else make_train_step)
+                kw = {'unroll': unroll} if unroll > 1 else {}
+                step_fn = mk(args, ctx.cfg, ctx.pose_cfg, ctx.rest_pose,
+                             ctx.optimizer, ctx.pose_optimizer,
+                             pose_frozen=True, **kw)
                 pose_frozen_rebuilt = True
 
-            batch = ctx.loader.next()
+            if unroll > 1:
+                batch = stack_batches(
+                    [ctx.loader.next() for _ in range(unroll)])
+            else:
+                batch = ctx.loader.next()
             if ctx.mesh is not None:
                 batch = shard_ray_batch(ctx.mesh, batch)
             state, out = step_fn(state, batch, jax.random.fold_in(key, i))
-            rays_done += args.N_rand
+            rays_done += args.N_rand * unroll
+            done = i + unroll  # steps completed after this dispatch
 
-            if (i + 1) % args.i_print == 0:
+            start_of_dispatch = i
+
+            def crossed(interval):
+                # a multiple of `interval` lies in (start_of_dispatch, done]
+                return done // interval > start_of_dispatch // interval
+            i = done - 1  # report the last completed step below
+
+            if crossed(args.i_print):
                 stats = {k: float(v) for k, v in out['stats'].items()}
                 losses = {k: float(v) for k, v in out['losses'].items()}
                 dt = time.time() - t_start
@@ -230,13 +253,13 @@ def train(args: TrainConfig, dataset=None,
                           f"psnr={stats.get('psnr', 0):.2f} "
                           f"rays/s={rec['rays_per_sec']:.0f}")
 
-            if (i + 1) % args.i_weights == 0:
+            if crossed(args.i_weights):
                 ctx.state = state
                 save_checkpoint(ctx.exp_dir, state, i + 1)
-            if args.opt_pose and (i + 1) % args.i_pose_weights == 0:
+            if args.opt_pose and crossed(args.i_pose_weights):
                 ctx.state = state
                 save_pose_checkpoint(ctx.exp_dir, state, i + 1)
-            if (i + 1) % args.i_testset == 0:
+            if crossed(args.i_testset):
                 ctx.state = state
                 val = run_validation(ctx, i + 1)
                 rec = {'step': i + 1, 'val': val}

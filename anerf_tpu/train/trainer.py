@@ -132,7 +132,8 @@ def make_train_step(args: TrainConfig,
                     pose_frozen: bool = False,
                     tau_fixed: Optional[float] = None,
                     kp_map: Optional[jnp.ndarray] = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    raw: bool = False):
     """Build the jitted train step.
 
     pose_frozen: static flag — True after opt_pose_stop (the loop rebuilds
@@ -254,7 +255,45 @@ def make_train_step(args: TrainConfig,
             anchors=state.anchors)
         return new_state, {'losses': losses, 'stats': stats}
 
+    if raw:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_scan(*args_mk, unroll: int = 8, donate: bool = True,
+                         **kwargs_mk):
+    """Multi-step train function: scans `unroll` batches in ONE dispatch.
+
+    Per-call dispatch latency (host->device command issue; severe over
+    remote-attached TPUs) is amortized across `unroll` optimizer steps.
+    Takes stacked batches {k: (unroll, ...)} and returns the last step's
+    losses/stats. Semantically identical to calling the single step
+    `unroll` times.
+    """
+    kwargs_mk = dict(kwargs_mk)
+    kwargs_mk['raw'] = True
+    inner_fn = make_train_step(*args_mk, **kwargs_mk)
+
+    def scan_step(state: TrainState, batches: Dict[str, Any], key: jax.Array
+                  ) -> Tuple[TrainState, Dict[str, Any]]:
+        def body(st, i):
+            batch = {k: (v[i] if v is not None else None)
+                     for k, v in batches.items()}
+            st, out = inner_fn(st, batch, jax.random.fold_in(key, i))
+            return st, out
+        state, outs = jax.lax.scan(body, state, jnp.arange(unroll))
+        last = jax.tree_util.tree_map(lambda x: x[-1], outs)
+        return state, last
+
+    return jax.jit(scan_step, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches):
+    """Stack a list of batch dicts along a new leading axis (host-side)."""
+    import numpy as np
+    keys = batches[0].keys()
+    return {k: (np.stack([np.asarray(b[k]) for b in batches])
+                if batches[0][k] is not None else None) for k in keys}
 
 
 def make_render_step(args: TrainConfig, cfg: RenderConfig):

@@ -29,9 +29,10 @@ def main():
                                          pose_anchor_tree)
     from anerf_tpu.train.state import (TrainState, make_nerf_optimizer,
                                        make_pose_optimizer, tree_zeros_like)
-    from anerf_tpu.train.trainer import make_train_step
+    from anerf_tpu.train.trainer import make_train_step_scan, stack_batches
 
     n_rays = 2048  # SURREAL recipe N_rand
+    unroll = 10    # train steps fused per dispatch (amortizes host latency)
     args, cfg, params, pose = _flagship(n_rays=n_rays, n_images=128)
 
     pose_cfg = PoseOptConfig(use_rot6d=args.opt_rot6d)
@@ -49,23 +50,24 @@ def main():
         anchors=pose_anchor_tree(pose['kp3d'], pose['bones']))
 
     rest = jnp.asarray(pose['rest_pose'])
-    step_fn = make_train_step(args, cfg, pose_cfg, rest, opt, popt)
+    step_fn = make_train_step_scan(args, cfg, pose_cfg, rest, opt, popt,
+                                   unroll=unroll)
 
-    batch = _batch(pose, n_rays, 8)
+    batches = stack_batches([_batch(pose, n_rays, 8) for _ in range(unroll)])
     key = jax.random.PRNGKey(0)
 
     # warmup / compile
-    state, _ = step_fn(state, batch, key)
+    state, _ = step_fn(state, batches, key)
     jax.block_until_ready(state.params)
 
-    n_iters = 50
+    n_dispatch = 5
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, out = step_fn(state, batch, jax.random.fold_in(key, i))
+    for i in range(n_dispatch):
+        state, out = step_fn(state, batches, jax.random.fold_in(key, i))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    rays_per_sec = n_rays * n_iters / dt
+    rays_per_sec = n_rays * unroll * n_dispatch / dt
     print(json.dumps({
         'metric': 'train_rays_per_sec',
         'value': round(rays_per_sec, 1),
