@@ -36,7 +36,7 @@ class BaseH5Dataset:
                  patch_size: int = 1, split: str = 'full',
                  N_nms: float = 0, subject: Optional[str] = None,
                  mask_img: bool = False, multiview: bool = False,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, use_native: bool = True):
         self.h5_path = h5_path
         self.split = split
         self.dataset = None
@@ -50,6 +50,13 @@ class BaseH5Dataset:
         self._idx_map = None
         self._render_idx_map = None
         self.rng = np.random.default_rng(seed)
+
+        # native C++ fast path for the sampling/gather inner loop
+        # (anerf_tpu/native); only covers the plain single-pixel sampler
+        self._native = None
+        if use_native and patch_size == 1 and N_nms == 0:
+            from ..native import get_fast_sampler
+            self._native = get_fast_sampler()
 
         self.init_meta()
         self.init_len()
@@ -249,6 +256,45 @@ class BaseH5Dataset:
                 img = img * fg + (1. - fg) * bg
         return img, fg, bg
 
+    def _get_item_native(self, idx, c2w, focal, center):
+        """C++ inner loop: sample + ray/pixel gathers in one pass."""
+        fs = self._native
+        sampling_mask = np.ascontiguousarray(
+            self.dataset['sampling_masks'][idx]).reshape(-1)
+        seed = int(self.rng.integers(0, 2 ** 63 - 1))
+        idx_bytes = fs.sample_mask_pixels(sampling_mask.tobytes(),
+                                          self.N_samples, seed)
+        pixel_idxs = np.frombuffer(idx_bytes, np.int64)
+
+        dirs = self._dirs
+        if center is not None:
+            dirs = dirs.copy()
+            c = center.copy()
+            c[1] *= -1
+            dirs[:, :2] -= c
+        f = np.asarray(focal, np.float32).reshape(-1)
+        fx = float(f[0])
+        fy = float(f[1]) if f.size > 1 else fx
+        rays = np.frombuffer(
+            fs.gather_rays(np.ascontiguousarray(dirs, np.float32).tobytes(),
+                           idx_bytes,
+                           np.ascontiguousarray(c2w, np.float32).tobytes(),
+                           fx, fy), np.float32).reshape(-1, 6)
+        rays_o, rays_d = rays[:, :3].copy(), rays[:, 3:].copy()
+
+        img_row = np.ascontiguousarray(self.dataset['imgs'][idx])
+        rgb = np.frombuffer(fs.gather_pixels(img_row.tobytes(), idx_bytes, 3),
+                            np.float32).reshape(-1, 3)
+        mask_row = np.ascontiguousarray(self.dataset['masks'][idx])
+        fg = mask_row[pixel_idxs].astype(np.float32)
+        bg = None
+        if self.has_bg:
+            bg = self.bgs[self.bg_idxs[idx]][pixel_idxs].astype(
+                np.float32) / 255.
+            if self.mask_img:
+                rgb = rgb * fg + (1. - fg) * bg
+        return pixel_idxs, rays_o, rays_d, rgb, fg, bg
+
     def get_item(self, q_idx: int) -> Dict[str, np.ndarray]:
         """Rays/pixels for one image (reference __getitem__,
         dataset.py:57-105), without per-ray pose repeats."""
@@ -258,9 +304,13 @@ class BaseH5Dataset:
         c2w, focal, center, cam_idx = self.get_camera_data(
             idx, q_idx, self.N_samples)
         kp_idx, kp, bone, skt, cyl = self.get_pose_data(idx, q_idx)
-        pixel_idxs = self.sample_pixels(idx, q_idx)
-        rays_o, rays_d = self.get_rays(c2w, focal, pixel_idxs, center)
-        rays_rgb, fg, bg = self.get_img_data(idx, pixel_idxs)
+        if self._native is not None:
+            _, rays_o, rays_d, rays_rgb, fg, bg = self._get_item_native(
+                idx, c2w, focal, center)
+        else:
+            pixel_idxs = self.sample_pixels(idx, q_idx)
+            rays_o, rays_d = self.get_rays(c2w, focal, pixel_idxs, center)
+            rays_rgb, fg, bg = self.get_img_data(idx, pixel_idxs)
 
         out = {
             'rays_o': rays_o, 'rays_d': rays_d, 'target_s': rays_rgb,

@@ -30,8 +30,17 @@ def dilate_mask(mask: np.ndarray, iterations: int = 2) -> np.ndarray:
 
 
 def dilate_masks(masks: np.ndarray, iterations: int = 2) -> np.ndarray:
-    """Batch dilation (N, H, W)."""
-    return np.stack([dilate_mask(m, iterations) for m in masks])
+    """Batch dilation (N, H, W). Uses cv2's 5x5 kernel when available
+    (matching the reference's dilation extent, load_surreal.py:50-59);
+    falls back to the numpy cross dilation."""
+    try:
+        import cv2
+        kernel = np.ones((5, 5), np.uint8)
+        return np.stack([
+            cv2.dilate(m.astype(np.uint8), kernel=kernel,
+                       iterations=iterations) for m in masks])
+    except ImportError:
+        return np.stack([dilate_mask(m, iterations) for m in masks])
 
 
 def make_sampling_masks(masks: np.ndarray, extend_iter: int = 2

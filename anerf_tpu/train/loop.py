@@ -195,8 +195,8 @@ def train(args: TrainConfig, dataset=None,
     n_iters = n_iters if n_iters is not None else args.n_iters
     key = jax.random.PRNGKey(args.seed + 1)
 
-    metrics_path = os.path.join(ctx.exp_dir, 'metrics.jsonl')
-    log_f = open(metrics_path, 'a')
+    from ..utils.logging import MetricsLogger
+    logger = MetricsLogger(ctx.exp_dir)
 
     ctx.loader.start()
     state = ctx.state
@@ -242,12 +242,10 @@ def train(args: TrainConfig, dataset=None,
                 stats = {k: float(v) for k, v in out['stats'].items()}
                 losses = {k: float(v) for k, v in out['losses'].items()}
                 dt = time.time() - t_start
-                rec = {'step': i + 1, 'rays_per_sec': rays_done / dt,
-                       **losses, **stats}
-                log_f.write(json.dumps(rec) + '\n')
-                log_f.flush()
+                rec = {'rays_per_sec': rays_done / dt, **losses, **stats}
+                logger.log_scalars(i + 1, rec)
                 if log_fn:
-                    log_fn(rec)
+                    log_fn({'step': i + 1, **rec})
                 else:
                     print(f"[{i + 1}] loss={losses['total_loss']:.4f} "
                           f"psnr={stats.get('psnr', 0):.2f} "
@@ -262,14 +260,12 @@ def train(args: TrainConfig, dataset=None,
             if crossed(args.i_testset):
                 ctx.state = state
                 val = run_validation(ctx, i + 1)
-                rec = {'step': i + 1, 'val': val}
-                log_f.write(json.dumps(rec) + '\n')
-                log_f.flush()
+                logger.log_scalars(i + 1, val, prefix='val/')
                 print(f'[val {i + 1}] ' + ' '.join(
                     f'{k}={v:.3f}' for k, v in val.items()))
     finally:
         ctx.loader.stop()
-        log_f.close()
+        logger.close()
 
     ctx.state = state
     return ctx

@@ -58,7 +58,9 @@ def test_e2e_training_improves_psnr(tmp_path, h5_path):
 
 
 def test_checkpoint_resume(tmp_path, h5_path):
-    args = e2e_args(tmp_path, h5_path, expname='resume', i_weights=20)
+    # scan_unroll=1: exact per-step checkpoint semantics
+    args = e2e_args(tmp_path, h5_path, expname='resume', i_weights=20,
+                    scan_unroll=1)
     ds = SurrealDataset(h5_path, N_samples=args.N_rand // args.N_sample_images,
                         split='train')
     ctx = train(args, ds, n_iters=20)
@@ -71,7 +73,7 @@ def test_checkpoint_resume(tmp_path, h5_path):
 
     # finetune mode resets the step but keeps weights
     args_ft = e2e_args(tmp_path, h5_path, expname='resume', i_weights=20,
-                       finetune=True)
+                       scan_unroll=1, finetune=True)
     ctx3 = setup(args_ft, ds)
     assert ctx3.start_step == 0
     np.testing.assert_array_equal(
