@@ -29,9 +29,11 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (ray) axis across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """Shard the ray axis across the data axis. `stacked` batches carry a
+    leading scan-unroll axis, so the ray axis is axis 1."""
+    spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+    return NamedSharding(mesh, spec)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -40,10 +42,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_ray_batch(mesh: Mesh, batch: Dict[str, Any],
                     ray_keys=('rays', 'target_s', 'fgs', 'bgs', 'cam_idxs',
-                              'pose_idx')) -> Dict[str, Any]:
+                              'pose_idx'),
+                    stacked: bool = False) -> Dict[str, Any]:
     """Place per-ray arrays sharded on the data axis and everything else
     (per-image pose tables, frame indices) replicated."""
-    data = batch_sharding(mesh)
+    data = batch_sharding(mesh, stacked)
     rep = replicated(mesh)
     out = {}
     for k, v in batch.items():

@@ -73,11 +73,18 @@ class TrainContext:
 def setup(args: TrainConfig, dataset=None) -> TrainContext:
     exp_dir = os.path.join(args.basedir, args.expname)
     os.makedirs(exp_dir, exist_ok=True)
-    save_args_txt(args, exp_dir)
 
     if dataset is None:
         dataset = get_dataset(args)
     data_attrs = dataset.get_meta()
+
+    # pin the resolved framecode count into the experiment snapshot so a
+    # render-time re-parse reconstructs the exact architecture (the
+    # reference instead digs it out of the ckpt weights, run_render.py:95-99)
+    if args.n_framecodes is None:
+        args = dataclasses.replace(args,
+                                   n_framecodes=int(data_attrs['n_views']))
+    save_args_txt(args, exp_dir)
     render_data = dataset.get_render_data()
     loader = BatchLoader(dataset, n_images=args.N_sample_images,
                          prefetch=4, seed=args.seed)
@@ -226,7 +233,8 @@ def train(args: TrainConfig, dataset=None,
             else:
                 batch = ctx.loader.next()
             if ctx.mesh is not None:
-                batch = shard_ray_batch(ctx.mesh, batch)
+                batch = shard_ray_batch(ctx.mesh, batch,
+                                        stacked=unroll > 1)
             state, out = step_fn(state, batch, jax.random.fold_in(key, i))
             rays_done += args.N_rand * unroll
             done = i + unroll  # steps completed after this dispatch

@@ -173,4 +173,4 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
                           for _ in range(n_verts)], np.float32)
         faces = np.array([f.readline().split()[1:4]
                           for _ in range(n_faces)], np.int64)
-    return verts, faces
+    return verts.reshape(-1, 3), faces.reshape(-1, 3)

@@ -1,0 +1,91 @@
+"""run_render CLI integration: train tiny -> render bullet + mesh modes."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from anerf_tpu.config import TrainConfig
+from anerf_tpu.data.fixtures import make_synthetic_h5
+from anerf_tpu.data.surreal import SurrealDataset
+from anerf_tpu.train.loop import train
+
+
+@pytest.fixture(scope='module')
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('render_cli')
+    h5 = str(tmp / 'syn_train_h5py.h5')
+    make_synthetic_h5(h5, n_kps=4, n_cams=2, H=32, W=32)
+    args = TrainConfig(
+        expname='cli', basedir=str(tmp), dataset_type=('h5',), subject=(h5,),
+        netdepth=2, netwidth=32, multires=3, multires_views=2,
+        N_samples=8, N_importance=4, N_rand=64, N_sample_images=2,
+        use_viewdirs=True, use_cutoff=True, cutoff_viewdir=True,
+        cutoff_inputs=True, use_background=True, opt_framecode=True,
+        ext_scale=0.001, raw_noise_std=1.0, chunk=1024,
+        compute_dtype='float32', i_weights=8, i_testset=10**8,
+        i_print=10**8, scan_unroll=4, n_iters=8)
+    ds = SurrealDataset(h5, N_samples=32, split='train')
+    ctx = train(args, ds, n_iters=8)
+    return tmp, h5, ctx
+
+
+def _render_args(tmp, **over):
+    import run_render
+    base = dict(nerf_args=os.path.join(str(tmp), 'cli', 'args.txt'),
+                ckptpath=os.path.join(str(tmp), 'cli', 'checkpoints'),
+                render_res=None, dataset='surreal', entry='female',
+                white_bkgd=True, render_type='bullet', save_gt=False,
+                fps=4, mesh_res=24, mesh_thres=5.0, render_refined=False,
+                subject_idx=0, selected_idxs=[0], selected_framecode=None,
+                outputdir=os.path.join(str(tmp), 'render_out'),
+                runname='t', eval=False, no_save=False)
+    base.update(over)
+    import argparse
+    return argparse.Namespace(**base)
+
+
+def _patch_catalog(monkeypatch, h5):
+    import anerf_tpu.render.catalog as cat
+    orig = cat.init_catalog
+
+    def fake(n_bullet=10):
+        c = orig(n_bullet)
+        c['surreal']['female']['data_h5'] = h5
+        for mode in ('bullet', 'interpolate'):
+            c['surreal']['female'][mode]['selected_idxs'] = np.array([0, 1])
+        c['surreal']['female']['bullet']['n_bullet'] = 3
+        c['surreal']['female']['mesh'] = {'selected_idxs': np.array([0])}
+        return c
+    monkeypatch.setattr(cat, 'init_catalog', fake)
+    import run_render as rr
+    return rr
+
+
+def test_render_bullet_cli(trained, monkeypatch):
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='bullet', selected_idxs=None)
+    out = rr.run_render(args)
+    assert out['rgbs'].shape[0] == 6  # 2 idxs x 3 bullet views
+    assert np.isfinite(out['rgbs']).all()
+    img_dir = os.path.join(str(tmp), 'render_out', 'surreal', 't', 'image')
+    assert len(os.listdir(img_dir)) == 6
+
+
+def test_render_mesh_cli(trained, monkeypatch):
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='mesh', runname='m')
+    rr.run_render(args)
+    mesh_dir = os.path.join(str(tmp), 'render_out', 'surreal', 'm', 'meshes')
+    plys = os.listdir(mesh_dir)
+    assert len(plys) == 1
+    from anerf_tpu.utils.marching import load_ply
+    verts, faces = load_ply(os.path.join(mesh_dir, plys[0]))
+    # density field of a near-untrained net may or may not cross threshold;
+    # the pipeline must produce a valid (possibly empty) mesh
+    assert verts.shape[1] == 3 and faces.shape[1] == 3
