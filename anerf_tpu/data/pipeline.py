@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -89,20 +89,30 @@ def assemble_batch(dataset, img_idxs: np.ndarray) -> Dict[str, np.ndarray]:
 
 
 class BatchLoader:
-    """Iterator of ready batches with a background prefetch thread."""
+    """Iterator of ready batches fed by a prefetching thread pool.
 
-    def __init__(self, dataset, n_images: int, prefetch: int = 4,
-                 seed: int = 0):
+    Index batches are drawn from the sampler under a lock (global
+    once-per-epoch coverage is preserved); workers assemble batches
+    concurrently — h5 reads and the native sampling/gather extension release
+    the GIL, so threads scale without worker processes (the reference uses
+    16 DataLoader processes + pickling instead, core/load_data.py:78-80).
+    """
+
+    def __init__(self, dataset, n_images: int, prefetch: int = 6,
+                 seed: int = 0, num_workers: int = 2):
         self.dataset = dataset
         self.sampler = ImagePermutationSampler(len(dataset), n_images, seed)
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
+        self._threads: List[threading.Thread] = []
+        self._sampler_lock = threading.Lock()
 
     def _worker(self):
         while not self._stop.is_set():
-            idxs = self.sampler.next_batch()
+            with self._sampler_lock:
+                idxs = self.sampler.next_batch()
             batch = assemble_batch(self.dataset, idxs)
             while not self._stop.is_set():
                 try:
@@ -112,9 +122,11 @@ class BatchLoader:
                     continue
 
     def start(self):
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._worker, daemon=True)
-            self._thread.start()
+        if not self._threads:
+            for _ in range(self.num_workers):
+                t = threading.Thread(target=self._worker, daemon=True)
+                t.start()
+                self._threads.append(t)
         return self
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -123,13 +135,13 @@ class BatchLoader:
             yield self._q.get()
 
     def next(self) -> Dict[str, np.ndarray]:
-        if self._thread is None:
+        if not self._threads:
             # synchronous fallback
             return assemble_batch(self.dataset, self.sampler.next_batch())
         return self._q.get()
 
     def stop(self):
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=2.0)
-            self._thread = None
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []

@@ -87,7 +87,9 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
     save_args_txt(args, exp_dir)
     render_data = dataset.get_render_data()
     loader = BatchLoader(dataset, n_images=args.N_sample_images,
-                         prefetch=4, seed=args.seed)
+                         prefetch=max(4, 2 * args.scan_unroll),
+                         seed=args.seed,
+                         num_workers=min(max(args.num_workers, 1), 8))
 
     cfg = build_render_config(args, data_attrs)
     key = jax.random.PRNGKey(args.seed)
@@ -172,8 +174,14 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
 
 
 def run_validation(ctx: TrainContext, step: int,
-                   max_images: int = 4) -> Dict[str, float]:
-    """Periodic held-out render + PSNR/SSIM (run_nerf.py:555-602)."""
+                   max_images: int = 4,
+                   save_images: bool = False) -> Dict[str, float]:
+    """Periodic held-out render + PSNR/SSIM (run_nerf.py:555-602).
+
+    save_images dumps rgb / GT / disparity / skeleton-overlay pngs under
+    exp_dir/val/<step>/ (the reference writes TB videos instead,
+    run_nerf.py:569-600).
+    """
     args, rd = ctx.args, ctx.render_data
     n = min(max_images, len(rd['c2ws']))
     tau, _ = derive_schedules(args, ctx.cfg, jnp.int32(step))
@@ -191,6 +199,30 @@ def run_validation(ctx: TrainContext, step: int,
 
     metrics = evaluate_metric_arrays(out['rgbs'], rd['imgs'][:n],
                                      fgs=rd['fgs'][:n])
+
+    if save_images:
+        import imageio.v2 as imageio
+
+        from ..utils.skeleton_draw import draw_skeletons_3d
+        val_dir = os.path.join(ctx.exp_dir, 'val', f'{step:08d}')
+        os.makedirs(val_dir, exist_ok=True)
+        rgbs8 = (np.clip(out['rgbs'], 0, 1) * 255).astype(np.uint8)
+        overlays = draw_skeletons_3d(
+            rgbs8, rd['kp3d'][:n], rd['c2ws'][:n],
+            int(np.atleast_1d(H)[0]), int(np.atleast_1d(W)[0]),
+            np.atleast_1d(focals)[:n])
+        for i in range(n):
+            imageio.imwrite(os.path.join(val_dir, f'rgb_{i:03d}.png'),
+                            rgbs8[i])
+            imageio.imwrite(os.path.join(val_dir, f'gt_{i:03d}.png'),
+                            (np.clip(rd['imgs'][i], 0, 1) * 255).astype(
+                                np.uint8))
+            disp = out['disps'][i]
+            disp = disp / max(disp.max(), 1e-9)
+            imageio.imwrite(os.path.join(val_dir, f'disp_{i:03d}.png'),
+                            (disp * 255).astype(np.uint8))
+            imageio.imwrite(os.path.join(val_dir, f'skel_{i:03d}.png'),
+                            overlays[i])
     return metrics
 
 
@@ -267,7 +299,7 @@ def train(args: TrainConfig, dataset=None,
                 save_pose_checkpoint(ctx.exp_dir, state, i + 1)
             if crossed(args.i_testset):
                 ctx.state = state
-                val = run_validation(ctx, i + 1)
+                val = run_validation(ctx, i + 1, save_images=True)
                 logger.log_scalars(i + 1, val, prefix='val/')
                 print(f'[val {i + 1}] ' + ' '.join(
                     f'{k}={v:.3f}' for k, v in val.items()))

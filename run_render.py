@@ -138,23 +138,45 @@ def run_render(args):
     if rtype == 'mesh':
         return render_mesh_mode(args, cfg, params, src, mode_kwargs, tau)
 
+    def build_retarget(src_, **kw):
+        kw.pop('is_surreal', None)
+        kw.pop('is_neuralbody', None)
+        return modes.load_retarget(src_, src_, kw.pop('selected_idxs'),
+                                   kw.pop('length', 1),
+                                   skip=kw.pop('skip', 1), **kw)
+
+    def build_val(src_, **kw):
+        for drop in ('length', 'skip', 'is_surreal', 'is_neuralbody'):
+            kw.pop(drop, None)
+        return modes.load_selected(src_, **kw)
+
+    def build_correction(src_, **kw):
+        refined_src = None
+        if pose_sd is not None:
+            from anerf_tpu.pose.ckpt_compat import pose_ckpt_to_pose_data
+            kp3d, bones_r, _, _, rest_r, _ = pose_ckpt_to_pose_data(
+                popt_sd=pose_sd)
+            refined_src = modes.PoseSource(
+                kps=kp3d, bones=bones_r, c2ws=src_.c2ws,
+                focals=src_.focals, rest_pose=rest_r)
+        if refined_src is None:
+            raise ValueError('correction mode needs a pose-opt checkpoint')
+        return modes.load_correction(src_, refined_src, **kw)
+
     builders = {
         'bullet': modes.load_bullettime,
         'interpolate': modes.load_interpolate,
         'animate': modes.load_animate,
         'poserot': modes.load_pose_rotate,
         'bubble': modes.load_bubble,
-        'selected': modes.load_selected,
-        'val': modes.load_selected,
-        'retarget': modes.load_selected,
+        'selected': build_val,
+        'val': build_val,
+        'retarget': build_retarget,
+        'correction': build_correction,
     }
     if rtype not in builders:
         raise NotImplementedError(f'render_type {rtype} not implemented')
-    kwargs = {k: v for k, v in mode_kwargs.items()
-              if k not in ('length', 'skip', 'is_surreal', 'is_neuralbody',
-                           'undo_rot') or rtype not in ('val', 'selected',
-                                                        'retarget')}
-    data = builders[rtype](src, **kwargs)
+    data = builders[rtype](src, **mode_kwargs)
 
     cam_idxs = data['cam_idxs']
     if args.selected_framecode is not None:

@@ -89,3 +89,15 @@ def test_render_mesh_cli(trained, monkeypatch):
     # density field of a near-untrained net may or may not cross threshold;
     # the pipeline must produce a valid (possibly empty) mesh
     assert verts.shape[1] == 3 and faces.shape[1] == 3
+
+
+def test_run_validation_saves_images(trained):
+    tmp, h5, ctx = trained
+    from anerf_tpu.train.loop import run_validation
+    val = run_validation(ctx, 99, max_images=2, save_images=True)
+    assert np.isfinite(val['psnr'])
+    val_dir = os.path.join(ctx.exp_dir, 'val', f'{99:08d}')
+    files = os.listdir(val_dir)
+    assert any(f.startswith('rgb_') for f in files)
+    assert any(f.startswith('skel_') for f in files)
+    assert any(f.startswith('disp_') for f in files)
