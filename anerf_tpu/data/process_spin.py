@@ -169,12 +169,29 @@ def process_spin_data(betas, cameras, joints, rot_mats, bboxes,
             'pose_scale': float(pose_scale)}
 
 
+def _load_spin_file(data_path: str) -> dict:
+    """Read a SPIN output pack: .pkl, or an hdf5 of flat arrays (the
+    deepdish-written packs the reference consumes read fine through h5py
+    for their array-valued keys)."""
+    if data_path.endswith('.pkl'):
+        with open(data_path, 'rb') as f:
+            return pickle.load(f)
+    import h5py
+    out = {}
+    with h5py.File(data_path, 'r') as f:
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                key = name.split('/')[-1]
+                out.setdefault(key, obj[()])
+        f.visititems(visit)
+    return out
+
+
 def read_spin_data(data_path: str, ext_scale: float = 0.001,
                    img_res: int = 1000, bbox_res: int = 224,
                    rest_pose: Optional[np.ndarray] = None):
-    """Read a SPIN output .pkl and convert (process_spin.py:14-42)."""
-    with open(data_path, 'rb') as f:
-        spin = pickle.load(f)
+    """Read a SPIN output pack and convert (process_spin.py:14-42)."""
+    spin = _load_spin_file(data_path)
     betas = np.asarray(spin['pred_betas'])
     joints = np.asarray(spin['joints'] if 'joints' in spin
                         else spin['pred_joints'])

@@ -55,7 +55,25 @@ def derive_schedules(args: TrainConfig, cfg: RenderConfig, step: jnp.ndarray,
 
 
 def _gather_pose_for_rays(tables: Dict[str, jnp.ndarray],
-                          pose_idx: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+                          pose_idx: jnp.ndarray,
+                          n_rays: int) -> Dict[str, jnp.ndarray]:
+    """Per-image tables -> per-ray rows.
+
+    The sampler always emits equal contiguous ray blocks per image
+    (pose_idx = repeat(arange(NI), R/NI)), so the gather is a structured
+    tile: use jnp.repeat, whose transpose is a segment-sum — far cheaper on
+    TPU than the scatter-add an arbitrary-index gather's backward lowers to
+    (the pose gradient flows through these rows).
+    """
+    n_img = None
+    for v in tables.values():
+        if v is not None:
+            n_img = v.shape[0]
+            break
+    if n_img is not None and n_rays % n_img == 0:
+        rep = n_rays // n_img
+        return {k: jnp.repeat(v, rep, axis=0) if v is not None else None
+                for k, v in tables.items()}
     return {k: v[pose_idx] if v is not None else None
             for k, v in tables.items()}
 
@@ -158,7 +176,8 @@ def make_train_step(args: TrainConfig,
             tables = {'kp3d': batch['kp3d'], 'bones': batch['bones'],
                       'skts': batch['skts'], 'cyls': batch['cyls']}
 
-        per_ray = _gather_pose_for_rays(tables, batch['pose_idx'])
+        per_ray = _gather_pose_for_rays(tables, batch['pose_idx'],
+                                        batch['rays'].shape[0])
 
         preds = render_rays(
             params, cfg, batch['rays'], per_ray['kp3d'], per_ray['skts'],
