@@ -155,18 +155,9 @@ def fused_mlp_apply(cfg: NeRFConfig, packed: Dict[str, Any],
     return out[:P, :4]
 
 
-def _kernel_entry(cfg, xp_ref, xv_ref, *refs):
-    names = _weight_names(cfg)
-    w = {}
-    for name, ref in zip(names, refs[:-1]):
-        arr = ref[:]
-        if name.startswith('b'):
-            arr = arr.reshape(-1)
-        w[name] = arr
-    out_ref = refs[-1]
-
+def _mlp_chain(cfg, w, xp, xv):
+    """The serial layer chain on one row block (bf16 MXU, f32 accum)."""
     f32 = jnp.float32
-    xp = xp_ref[:]
     h = jnp.dot(xp, w['w0'], preferred_element_type=f32) + w['b0']
     h = jnp.maximum(h, 0.0)
     for i in range(1, cfg.depth):
@@ -182,13 +173,39 @@ def _kernel_entry(cfg, xp_ref, xv_ref, *refs):
     feat = jnp.dot(hb, w['wf'], preferred_element_type=f32) + w['bf']
     hv = jnp.dot(feat.astype(jnp.bfloat16), w['wv_f'],
                  preferred_element_type=f32)
-    hv += jnp.dot(xv_ref[:], w['wv_d'], preferred_element_type=f32)
+    hv += jnp.dot(xv, w['wv_d'], preferred_element_type=f32)
     hv = jnp.maximum(hv + w['bv'], 0.0)
 
     out = jnp.dot(hv.astype(jnp.bfloat16), w['w_rgb'],
                   preferred_element_type=f32)
     out += jnp.dot(hb, w['w_alpha'], preferred_element_type=f32)
-    out_ref[:] = out + w['b_out']
+    return out + w['b_out']
+
+
+# independent row half-blocks computed per tile: the two dependency chains
+# give the Mosaic scheduler freedom to overlap one block's VPU epilogue
+# (bias+relu+cast) with the other block's MXU matmul
+N_INTERLEAVE = 2
+
+
+def _kernel_entry(cfg, xp_ref, xv_ref, *refs):
+    names = _weight_names(cfg)
+    w = {}
+    for name, ref in zip(names, refs[:-1]):
+        arr = ref[:]
+        if name.startswith('b'):
+            arr = arr.reshape(-1)
+        w[name] = arr
+    out_ref = refs[-1]
+
+    tile = xp_ref.shape[0]
+    if tile % N_INTERLEAVE == 0 and tile >= 2 * 128:
+        half = tile // N_INTERLEAVE
+        for k in range(N_INTERLEAVE):
+            sl = slice(k * half, (k + 1) * half)
+            out_ref[sl, :] = _mlp_chain(cfg, w, xp_ref[sl, :], xv_ref[sl, :])
+    else:
+        out_ref[:] = _mlp_chain(cfg, w, xp_ref[:], xv_ref[:])
 
 
 def supports_config(cfg: NeRFConfig) -> bool:

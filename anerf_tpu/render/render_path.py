@@ -8,6 +8,7 @@ function — no shape-dependent recompiles beyond the first.
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Dict, List, Optional
 
@@ -21,25 +22,49 @@ from .raycaster import RenderConfig, render_rays
 
 
 def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
-    """Jitted fixed-shape bucket renderer."""
+    """Jitted renderer: scans all ray buckets of one pose in ONE dispatch
+    (per-dispatch latency dominates on remote-attached chips; the reference
+    instead loops `chunk`-sized forwards host-side, trainer.py:64-79).
+
+    The bucket count is part of the trace; pose ray counts are padded to
+    power-of-two bucket counts by the caller to bound recompiles.
+    """
     test_cfg = cfg.test_mode()
 
-    @jax.jit
-    def fn(params, rays, kp3d, skts, bones, cyls, cam_idxs, tau):
-        return render_rays(
-            params, test_cfg, rays, kp3d, skts, bones, cyls,
-            cam_idxs=cam_idxs if use_framecode_idx else None,
-            rng=None, tau=tau,
-            eval_framecode_mean=not use_framecode_idx)
+    @functools.partial(jax.jit, static_argnames=('n_buckets',))
+    def fn(params, rays, kp3d, skts, bones, cyls, cam_idxs, tau,
+           n_buckets: int = 1):
+        R = rays.shape[0]
+        chunk = R // n_buckets
+
+        def one(rb):
+            return render_rays(
+                params, test_cfg, rb, kp3d, skts, bones, cyls,
+                cam_idxs=cam_idxs if use_framecode_idx else None,
+                rng=None, tau=tau,
+                eval_framecode_mean=not use_framecode_idx)
+
+        rays_b = rays.reshape(n_buckets, chunk, rays.shape[-1])
+        out = jax.lax.map(one, rays_b)
+        return {k: v.reshape((R,) + v.shape[2:]) for k, v in out.items()}
     return fn
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def render_one_pose(render_fn, params, rays_o, rays_d, kp, skt, bone, cyl,
                     cam_idx: Optional[int], tau: float,
                     chunk: int = 4096) -> Dict[str, np.ndarray]:
-    """Render a (possibly irregular) set of rays by padded buckets."""
+    """Render a (possibly irregular) set of rays: pad to a power-of-two
+    bucket count, one device dispatch."""
     n = rays_o.shape[0]
-    n_pad = ((n + chunk - 1) // chunk) * chunk
+    n_buckets = _next_pow2(max(1, -(-n // chunk)))
+    n_pad = n_buckets * chunk
     pad = n_pad - n
 
     rays_o = np.concatenate([rays_o, np.repeat(rays_o[-1:], pad, 0)])
@@ -47,25 +72,23 @@ def render_one_pose(render_fn, params, rays_o, rays_d, kp, skt, bone, cyl,
     viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
     near = np.zeros((n_pad, 1), np.float32)
     far = np.ones((n_pad, 1), np.float32)
-    rays = np.concatenate([rays_o, rays_d, near, far, viewdirs],
-                          -1).astype(np.float32)
+    rays = jnp.asarray(np.concatenate([rays_o, rays_d, near, far, viewdirs],
+                                      -1).astype(np.float32))
 
-    outs: Dict[str, List[np.ndarray]] = {}
-    for s in range(0, n_pad, chunk):
-        rb = jnp.asarray(rays[s:s + chunk])
-        R = rb.shape[0]
-        kp_b = jnp.broadcast_to(jnp.asarray(kp), (R,) + kp.shape[-2:])
-        skt_b = jnp.broadcast_to(jnp.asarray(skt), (R,) + skt.shape[-3:])
-        bone_b = (jnp.broadcast_to(jnp.asarray(bone), (R,) + bone.shape[-2:])
-                  if bone is not None else None)
-        cyl_b = jnp.broadcast_to(jnp.asarray(cyl), (R, cyl.shape[-1]))
-        cam_b = (jnp.full((R,), cam_idx, jnp.int32)
-                 if cam_idx is not None else None)
-        ret = render_fn(params, rb, kp_b, skt_b, bone_b, cyl_b, cam_b,
-                        jnp.float32(tau))
-        for k in ('rgb_map', 'disp_map', 'acc_map'):
-            outs.setdefault(k, []).append(np.asarray(ret[k]))
-    return {k: np.concatenate(v)[:n] for k, v in outs.items()}
+    # per-ray pose rows within one bucket (replicated across buckets by the
+    # closure): broadcast to chunk rows once
+    kp_b = jnp.broadcast_to(jnp.asarray(kp), (chunk,) + kp.shape[-2:])
+    skt_b = jnp.broadcast_to(jnp.asarray(skt), (chunk,) + skt.shape[-3:])
+    bone_b = (jnp.broadcast_to(jnp.asarray(bone), (chunk,) + bone.shape[-2:])
+              if bone is not None else None)
+    cyl_b = jnp.broadcast_to(jnp.asarray(cyl), (chunk, cyl.shape[-1]))
+    cam_b = (jnp.full((chunk,), cam_idx, jnp.int32)
+             if cam_idx is not None else None)
+
+    ret = render_fn(params, rays, kp_b, skt_b, bone_b, cyl_b, cam_b,
+                    jnp.float32(tau), n_buckets=n_buckets)
+    return {k: np.asarray(ret[k])[:n]
+            for k in ('rgb_map', 'disp_map', 'acc_map')}
 
 
 def render_path(params, cfg: RenderConfig,
