@@ -44,6 +44,39 @@ def generate_bullet_time(c2w: np.ndarray, n_views: int = 20,
     return np.array([rotate_fn(a) @ c2w for a in angles])
 
 
+def translate(tx, ty, tz):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = (tx, ty, tz)
+    return m
+
+
+def generate_camera_path(amp_wobble: float = 15.0, amp_dist: float = 0.5,
+                         dist: float = 3.0,
+                         center=np.array([0., 0., 0.]),
+                         n_cams: int = 60) -> np.ndarray:
+    """SURREAL-style orbit: a zoom-in/out ring followed by a wobble ring
+    (reference load_surreal.py:20-48). Returns (2*n_cams, 4, 4) c2ws."""
+    angles = np.linspace(0, math.radians(360), n_cams + 1)[:-1]
+    wave = np.sin(np.linspace(0, math.radians(360 * 4), n_cams + 1)[:-1])
+
+    loc = np.array([dist, 0., 0.], np.float32)
+    forward = np.array([1., 0., 0.], np.float32)
+    right = np.array([0., 0., -1.], np.float32)
+    up = np.cross(forward, right)
+    cam = np.concatenate(
+        [np.stack([right, up, forward, loc], axis=1),
+         np.array([[0., 0., 0., 1.]], np.float32)], axis=0)
+
+    poses = []
+    center_t = translate(*np.asarray(center, np.float32))
+    for a, d in zip(angles, amp_dist * wave):
+        poses.append(center_t @ rotate_y(a) @ translate(d, 0., 0.) @ cam)
+    wobble = math.radians(amp_wobble) * wave + math.radians(30)
+    for a, w in zip(angles, wobble):
+        poses.append(rotate_y(a) @ rotate_z(w) @ cam)
+    return np.array(poses, np.float32)
+
+
 @dataclasses.dataclass
 class PoseSource:
     """Pose + camera data a render mode draws from."""

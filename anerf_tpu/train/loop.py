@@ -27,8 +27,8 @@ from ..render.render_path import render_path
 from ..utils.metrics import evaluate_metric_arrays
 from .checkpoint import (restore_checkpoint, save_checkpoint,
                          save_pose_checkpoint)
-from .state import (TrainState, make_nerf_optimizer, make_pose_optimizer,
-                    tree_zeros_like)
+from .state import (TrainState, init_opt_state, init_pose_opt_state,
+                    make_nerf_optimizer, make_pose_optimizer)
 from .trainer import (derive_schedules, make_train_step,
                       make_train_step_scan, stack_batches)
 
@@ -113,8 +113,8 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
             data_attrs['kp3d'], data_attrs['bones'], pose_cfg,
             kp_map=data_attrs.get('kp_map'),
             kp_uidxs=data_attrs.get('kp_uidxs'))
-        pose_opt_state = pose_optimizer.init(pose_params)
-        pose_acc = tree_zeros_like(pose_params)
+        pose_opt_state, pose_acc = init_pose_opt_state(
+            pose_optimizer, pose_params)
         anchors = pose_anchor_tree(data_attrs['kp3d'], data_attrs['bones'])
         rest_pose = jnp.asarray(
             data_attrs['rest_pose'].reshape(-1, 3)[None]
@@ -124,7 +124,7 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
         rest_pose = jnp.asarray(np.asarray(data_attrs['rest_pose']))
 
     state = TrainState(step=jnp.int32(0), params=params,
-                       opt_state=optimizer.init(params),
+                       opt_state=init_opt_state(optimizer, params),
                        pose_params=pose_params,
                        pose_opt_state=pose_opt_state,
                        pose_grad_acc=pose_acc,
@@ -142,7 +142,7 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
                 # (reference raycasters.py:140-142)
                 state = dataclasses.replace(
                     state, step=jnp.int32(0),
-                    opt_state=optimizer.init(state.params))
+                    opt_state=init_opt_state(optimizer, state.params))
                 start_step = 0
 
     mesh = None

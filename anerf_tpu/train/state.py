@@ -60,6 +60,21 @@ def tree_zeros_like(tree):
     return jax.tree_util.tree_map(jnp.zeros_like, tree)
 
 
+def init_opt_state(optimizer, params):
+    """Optimizer state over the FLATTENED param vector (see trainer.py)."""
+    from jax.flatten_util import ravel_pytree
+    flat, _ = ravel_pytree(params)
+    return optimizer.init(flat)
+
+
+def init_pose_opt_state(pose_optimizer, pose_params):
+    """(opt_state, grad_acc) over the FLATTENED pose vector — the trainer
+    runs the pose optimizer on one concatenated array (see trainer.py)."""
+    from jax.flatten_util import ravel_pytree
+    flat, _ = ravel_pytree(pose_params)
+    return pose_optimizer.init(flat), jnp.zeros_like(flat)
+
+
 def tree_select(pred, a, b):
     """Elementwise pytree where(pred, a, b) with scalar pred."""
     return jax.tree_util.tree_map(

@@ -242,23 +242,34 @@ def make_train_step(args: TrainConfig,
         grads['cutoff_dist'] = jnp.zeros_like(state.params['cutoff_dist'])
 
         total_norm, avg_norm = grad_norms(grads)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state,
-                                                 state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        # Adam over one flattened vector: the param tree has ~50 small
+        # leaves; per-leaf update kernels cost more in launches than FLOPs
+        from jax.flatten_util import ravel_pytree
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel_p = ravel_pytree(state.params)
+        updates, new_opt_state = optimizer.update(flat_g, state.opt_state,
+                                                  flat_p)
+        new_params = unravel_p(flat_p + updates)
 
         new_pose_params = state.pose_params
         new_pose_opt_state = state.pose_opt_state
         new_acc = state.pose_grad_acc
         if use_pose:
-            acc = tree_add(state.pose_grad_acc, pose_grads)
+            # The pose trees are tiny (N_frames x 75 floats); per-leaf optax
+            # ops + masked selects cost more in kernel-launch count than in
+            # FLOPs, so run the optimizer over ONE flattened vector.
+            from jax.flatten_util import ravel_pytree
+            flat_grads, unravel = ravel_pytree(pose_grads)
+            flat_params, _ = ravel_pytree(state.pose_params)
+            acc = state.pose_grad_acc + flat_grads
             do_step = (state.step % args.opt_pose_step) == 0
             p_updates, p_opt_state = pose_optimizer.update(
-                acc, state.pose_opt_state, state.pose_params)
-            stepped = optax.apply_updates(state.pose_params, p_updates)
-            new_pose_params = tree_select(do_step, stepped, state.pose_params)
+                acc, state.pose_opt_state, flat_params)
+            mask = do_step.astype(flat_params.dtype)
+            new_pose_params = unravel(flat_params + mask * p_updates)
             new_pose_opt_state = tree_select(do_step, p_opt_state,
                                              state.pose_opt_state)
-            new_acc = tree_select(do_step, tree_zeros_like(acc), acc)
+            new_acc = (1.0 - mask) * acc
 
         stats = dict(stats)
         stats['total_norm'] = total_norm

@@ -52,10 +52,21 @@ def _sample_faces(verts, normals, faces, samples_per_edge: int):
 def render_mesh_image(verts: np.ndarray, faces: np.ndarray,
                       rot: Optional[np.ndarray] = None,
                       res: int = 512, zoom: float = 0.85,
-                      samples_per_edge: int = 3,
+                      samples_per_edge: Optional[int] = None,
                       bg: float = 1.0) -> np.ndarray:
-    """One orthographic normal-shaded view. Returns (res, res, 3) float."""
+    """One orthographic normal-shaded view. Returns (res, res, 3) float.
+
+    samples_per_edge defaults to the screen-space size of the largest face
+    (hole-free coverage at any face/voxel scale)."""
+    if len(faces) == 0:
+        return np.full((res, res, 3), bg, np.float32)
     normals = compute_vertex_normals(verts, faces)
+    if samples_per_edge is None:
+        tri = verts[faces]
+        edge = np.linalg.norm(
+            tri - tri[:, [1, 2, 0]], axis=-1).max()
+        px = edge * 0.5 * zoom * (res - 1)   # [-1,1] -> pixels
+        samples_per_edge = int(np.clip(np.ceil(px) + 1, 2, 24))
     pts, nrm = _sample_faces(verts, normals, faces, samples_per_edge)
     if rot is not None:
         pts = pts @ rot.T

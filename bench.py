@@ -27,8 +27,10 @@ def main():
     from __graft_entry__ import _batch, _flagship
     from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
                                          pose_anchor_tree)
-    from anerf_tpu.train.state import (TrainState, make_nerf_optimizer,
-                                       make_pose_optimizer, tree_zeros_like)
+    from anerf_tpu.train.state import (TrainState, init_opt_state,
+                                       init_pose_opt_state,
+                                       make_nerf_optimizer,
+                                       make_pose_optimizer)
     from anerf_tpu.train.trainer import make_train_step_scan, stack_batches
 
     n_rays = 2048  # SURREAL recipe N_rand
@@ -44,9 +46,11 @@ def main():
                                args.opt_pose_decay_unit)
     pose_params = init_pose_params(pose['kp3d'], pose['bones'], pose_cfg)
     state = TrainState(
-        step=jnp.int32(0), params=params, opt_state=opt.init(params),
-        pose_params=pose_params, pose_opt_state=popt.init(pose_params),
-        pose_grad_acc=tree_zeros_like(pose_params),
+        step=jnp.int32(0), params=params,
+        opt_state=init_opt_state(opt, params),
+        pose_params=pose_params,
+        pose_opt_state=init_pose_opt_state(popt, pose_params)[0],
+        pose_grad_acc=init_pose_opt_state(popt, pose_params)[1],
         anchors=pose_anchor_tree(pose['kp3d'], pose['bones']))
 
     rest = jnp.asarray(pose['rest_pose'])

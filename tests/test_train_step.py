@@ -8,8 +8,10 @@ import optax
 
 from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
                                      pose_anchor_tree)
-from anerf_tpu.train.state import (TrainState, make_nerf_optimizer,
-                                   make_pose_optimizer, tree_zeros_like)
+from anerf_tpu.train.state import (TrainState, init_opt_state,
+                                   init_pose_opt_state,
+                                   make_nerf_optimizer,
+                                   make_pose_optimizer)
 from anerf_tpu.train.trainer import make_train_step
 
 from helpers import build_tiny, synthetic_batch
@@ -26,11 +28,10 @@ def make_state(args, params, pose=None, pose_cfg=None):
                                    args.opt_pose_decay_rate,
                                    args.opt_pose_decay_unit)
         pose_params = init_pose_params(pose['kp3d'], pose['bones'], pose_cfg)
-        pose_opt_state = popt.init(pose_params)
-        pose_acc = tree_zeros_like(pose_params)
+        pose_opt_state, pose_acc = init_pose_opt_state(popt, pose_params)
         anchors = pose_anchor_tree(pose['kp3d'], pose['bones'])
     state = TrainState(step=jnp.int32(0), params=params,
-                       opt_state=opt.init(params),
+                       opt_state=init_opt_state(opt, params),
                        pose_params=pose_params,
                        pose_opt_state=pose_opt_state,
                        pose_grad_acc=pose_acc, anchors=anchors)
