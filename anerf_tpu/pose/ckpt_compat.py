@@ -90,6 +90,63 @@ def load_reference_checkpoint(path: str
     return params, extras
 
 
+def _params_to_state_dict(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Our (in, out) param tree -> torch-layout state dict tensors."""
+    import torch
+    sd: Dict[str, Any] = {}
+    for i, layer in enumerate(params['pts_linears']):
+        sd[f'pts_linears.{i}.weight'] = torch.tensor(
+            np.asarray(layer['w']).T.copy())
+        sd[f'pts_linears.{i}.bias'] = torch.tensor(np.asarray(layer['b']))
+    for k in ('alpha_linear', 'feature_linear', 'rgb_linear',
+              'output_linear'):
+        if k in params:
+            sd[f'{k}.weight'] = torch.tensor(np.asarray(params[k]['w']).T.copy())
+            sd[f'{k}.bias'] = torch.tensor(np.asarray(params[k]['b']))
+    if 'views_linears' in params:
+        sd['views_linears.0.weight'] = torch.tensor(
+            np.asarray(params['views_linears'][0]['w']).T.copy())
+        sd['views_linears.0.bias'] = torch.tensor(
+            np.asarray(params['views_linears'][0]['b']))
+    if 'framecodes' in params:
+        sd['framecodes.codes.weight'] = torch.tensor(
+            np.asarray(params['framecodes']['codes']))
+    return sd
+
+
+def export_reference_checkpoint(path: str, params: Dict[str, Any],
+                                global_step: int = 0,
+                                tau: float = 2000.0,
+                                pose_params: Optional[Dict[str, Any]] = None,
+                                rest_pose: Optional[np.ndarray] = None
+                                ) -> None:
+    """Write an anerf_tpu model as a reference-format torch .tar, so models
+    trained here can be consumed by reference tooling (the inverse of
+    load_reference_checkpoint; key scheme per raycasters.py:752-766)."""
+    import torch
+    ckpt: Dict[str, Any] = {
+        'global_step': int(global_step),
+        'network_fn_state_dict': _params_to_state_dict(params['coarse']),
+        'embed_state_dict': {
+            'cutoff_dist': torch.tensor(np.asarray(params['cutoff_dist'])),
+            'tau': torch.tensor(float(tau)),
+        },
+    }
+    if params.get('fine') is not None:
+        ckpt['network_fine_state_dict'] = _params_to_state_dict(
+            params['fine'])
+    if pose_params is not None:
+        popt_sd = {
+            'pelvis': torch.tensor(np.asarray(pose_params['pelvis'])),
+            'bones': torch.tensor(np.asarray(pose_params['bones'])),
+        }
+        if rest_pose is not None:
+            popt_sd['rest_pose'] = torch.tensor(
+                np.asarray(rest_pose).reshape(1, -1, 3))
+        ckpt['poseopt_layer_state_dict'] = popt_sd
+    torch.save(ckpt, path)
+
+
 def pose_state_dict_to_params(popt_sd: Dict[str, Any]) -> Dict[str, Any]:
     """poseopt_layer_state_dict -> our pose param tree."""
     out = {'pelvis': _to_np(popt_sd['pelvis']).copy(),

@@ -114,3 +114,33 @@ def test_pose_ckpt_to_pose_data(tmp_path, rng):
                             jnp.asarray(pelvis))
     np.testing.assert_allclose(np.asarray(kp_j), kp3d, atol=1e-4)
     np.testing.assert_allclose(np.asarray(skts_j), skts, atol=1e-4)
+
+
+def test_export_import_roundtrip(tmp_path, rng):
+    """Our params -> reference .tar -> back, numerically identical."""
+    import jax
+    from anerf_tpu.models.nerf import init_nerf_params
+    from anerf_tpu.pose.ckpt_compat import (export_reference_checkpoint,
+                                            load_reference_checkpoint)
+    cfg = NeRFConfig(depth=4, width=64, input_ch=48, input_ch_bones=0,
+                     input_ch_views=24, skips=(2,), use_viewdirs=True,
+                     use_framecode=True, framecode_ch=16, n_framecodes=3)
+    params = {'coarse': init_nerf_params(jax.random.PRNGKey(2), cfg),
+              'fine': init_nerf_params(jax.random.PRNGKey(3), cfg),
+              'cutoff_dist': jnp.full((24,), 0.42)}
+    pose_params = {'pelvis': rng.normal(size=(5, 3)).astype(np.float32),
+                   'bones': rng.normal(size=(5, 24, 3)).astype(np.float32)}
+    p = str(tmp_path / 'export.tar')
+    export_reference_checkpoint(p, params, global_step=777, tau=300.0,
+                                pose_params=pose_params,
+                                rest_pose=rng.normal(size=(24, 3)))
+    back, extras = load_reference_checkpoint(p)
+    assert extras['global_step'] == 777
+    assert np.isclose(extras['tau'], 300.0)
+    for a, b in zip(jax.tree_util.tree_leaves(params['coarse']),
+                    jax.tree_util.tree_leaves(back['coarse'])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(back['cutoff_dist']), 0.42)
+    sd = extras['poseopt_state_dict']
+    np.testing.assert_allclose(np.asarray(sd['pelvis']),
+                               pose_params['pelvis'])
