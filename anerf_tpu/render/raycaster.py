@@ -103,16 +103,24 @@ def encode_inputs(cfg: RenderConfig,
     else:
         j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None], axis=-1)
 
+    # Emitting the (wide) encodings directly in the MLP compute dtype fuses
+    # the cast into the PE elementwise chain and halves the HBM traffic of
+    # the encode->MLP boundary (the 360/648-wide tensors).
+    enc_dtype = cfg.dtype or jnp.float32
+
     v_e, _ = embed(cfg.embed_kp, v, dists=j_dists, cutoff_dist=cutoff_dist,
                    tau=tau, alpha=alpha_sched)
+    v_e = v_e.astype(enc_dtype)
     r_e = None
     if r is not None and cfg.embed_bone is not None:
         r_e, _ = embed(cfg.embed_bone, r, dists=j_dists,
                        cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched)
+        r_e = r_e.astype(enc_dtype)
     d_e = None
     if cfg.use_viewdirs and cfg.embed_view is not None:
         d_e, _ = embed(cfg.embed_view, d, dists=j_dists,
                        cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched)
+        d_e = d_e.astype(enc_dtype)
         if d_e.shape[1] == 1:
             d_e = jnp.broadcast_to(d_e, (d_e.shape[0], pts.shape[1],
                                          d_e.shape[2]))
