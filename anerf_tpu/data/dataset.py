@@ -507,10 +507,13 @@ class ConcatH5Dataset:
     def get_render_data(self):
         datas = [d.get_render_data() for d in self.datasets]
         # only render matching-shape subsets together (dataset.py:696-703)
+        h0 = np.atleast_1d(datas[0]['hwf'][0])
+        w0 = np.atleast_1d(datas[0]['hwf'][1])
         keep = [datas[0]]
         for r in datas[1:]:
-            if (r['hwf'][0] == datas[0]['hwf'][0]).all() and \
-                    (r['hwf'][1] == datas[0]['hwf'][1]).all():
+            h = np.atleast_1d(r['hwf'][0])
+            w = np.atleast_1d(r['hwf'][1])
+            if h.flat[0] == h0.flat[0] and w.flat[0] == w0.flat[0]:
                 keep.append(r)
         datas = keep
         merged = {}

@@ -76,6 +76,7 @@ def pose_params_to_bones(params: Dict[str, Any], idxs: jnp.ndarray,
 def fk_lookup(params: Dict[str, Any], idxs: jnp.ndarray,
               rest_pose: jnp.ndarray, cfg: PoseOptConfig,
               kp_map: Optional[jnp.ndarray] = None,
+              rest_pose_idxs: Optional[jnp.ndarray] = None,
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                          jnp.ndarray]:
     """FK for the given frame indices.
@@ -84,10 +85,20 @@ def fk_lookup(params: Dict[str, Any], idxs: jnp.ndarray,
     pose_opt.py:380), callers pass already-unique per-batch image indices and
     gather per-ray afterwards — batches are built that way by the sampler.
 
+    rest_pose: (1|S, J, 3). With multiple subjects, rest_pose_idxs
+    (N_frames,) maps each frame to its subject's rest pose (reference
+    get_rest_pose, pose_opt.py:364-369).
+
     Returns (kps, bones, skts, l2ws, rots).
     """
     pelvis, bones = pose_params_to_bones(params, idxs, cfg, kp_map)
-    kp3d, skts, l2ws, rots = fk(bones, rest_pose, pelvis, cfg.skel)
+    if rest_pose.ndim == 3 and rest_pose.shape[0] > 1:
+        assert rest_pose_idxs is not None, \
+            'multi-subject rest poses need rest_pose_idxs'
+        rest = rest_pose[rest_pose_idxs[idxs]]
+    else:
+        rest = rest_pose.reshape(-1, rest_pose.shape[-2], rest_pose.shape[-1])
+    kp3d, skts, l2ws, rots = fk(bones, rest, pelvis, cfg.skel)
     return kp3d, bones, skts, l2ws, rots
 
 

@@ -116,10 +116,8 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
         pose_opt_state, pose_acc = init_pose_opt_state(
             pose_optimizer, pose_params)
         anchors = pose_anchor_tree(data_attrs['kp3d'], data_attrs['bones'])
-        rest_pose = jnp.asarray(
-            data_attrs['rest_pose'].reshape(-1, 3)[None]
-            if data_attrs['rest_pose'].ndim == 2
-            else data_attrs['rest_pose'][:1])
+        rp = np.asarray(data_attrs['rest_pose'])
+        rest_pose = jnp.asarray(rp[None] if rp.ndim == 2 else rp)
     elif 'rest_pose' in data_attrs:
         rest_pose = jnp.asarray(np.asarray(data_attrs['rest_pose']))
 
@@ -155,7 +153,10 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
     if args.finetune or not args.use_cutoff:
         # finetune keeps the annealed tau (effectively saturated)
         tau_fixed = 2000.0 if args.finetune else None
-    step_kwargs = dict(pose_frozen=pose_frozen, tau_fixed=tau_fixed)
+    rp_idxs = data_attrs.get('rest_pose_idxs')
+    step_kwargs = dict(
+        pose_frozen=pose_frozen, tau_fixed=tau_fixed,
+        rest_pose_idxs=None if rp_idxs is None else jnp.asarray(rp_idxs))
     if args.scan_unroll > 1:
         step_fn = make_train_step_scan(args, cfg, pose_cfg, rest_pose,
                                        optimizer, pose_optimizer,

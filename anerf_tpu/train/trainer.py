@@ -150,6 +150,7 @@ def make_train_step(args: TrainConfig,
                     pose_frozen: bool = False,
                     tau_fixed: Optional[float] = None,
                     kp_map: Optional[jnp.ndarray] = None,
+                    rest_pose_idxs: Optional[jnp.ndarray] = None,
                     donate: bool = True,
                     raw: bool = False):
     """Build the jitted train step.
@@ -168,7 +169,8 @@ def make_train_step(args: TrainConfig,
             pp = pose_params if use_pose \
                 else jax.lax.stop_gradient(pose_params)
             kps_i, bones_i, skts_i, _, rots_i = fk_lookup(
-                pp, batch['kp_idxs'], rest_pose, pose_cfg, kp_map)
+                pp, batch['kp_idxs'], rest_pose, pose_cfg, kp_map,
+                rest_pose_idxs)
             tables = {'kp3d': kps_i, 'bones': bones_i, 'skts': skts_i,
                       'cyls': batch['cyls']}
         else:
@@ -200,9 +202,11 @@ def make_train_step(args: TrainConfig,
                 prev_idx = (batch['kp_idxs'] - 1) % n_frames
                 next_idx = (batch['kp_idxs'] + 1) % n_frames
                 pk, pb, _, _, pr = fk_lookup(pose_params, prev_idx, rest_pose,
-                                             pose_cfg, kp_map)
+                                             pose_cfg, kp_map,
+                                             rest_pose_idxs)
                 nk, nb, _, _, nr = fk_lookup(pose_params, next_idx, rest_pose,
-                                             pose_cfg, kp_map)
+                                             pose_cfg, kp_map,
+                                             rest_pose_idxs)
                 if args.opt_rot6d:
                     pb, nb = rot_to_rot6d(pr), rot_to_rot6d(nr)
                 temp = {'prev_bones': pb, 'next_bones': nb,

@@ -78,3 +78,27 @@ def test_checkpoint_resume(tmp_path, h5_path):
     assert ctx3.start_step == 0
     np.testing.assert_array_equal(
         np.asarray(ctx3.state.params['coarse']['pts_linears'][0]['w']), p0)
+
+
+def test_multi_subject_training(tmp_path, h5_path):
+    """ConcatH5Dataset -> training with per-subject rest poses + pose-opt."""
+    from anerf_tpu.data.dataset import ConcatH5Dataset
+
+    h5_b = str(tmp_path / 'second_train_h5py.h5')
+    make_synthetic_h5(h5_b, n_kps=4, n_cams=2, H=48, W=48, seed=5)
+    args = e2e_args(tmp_path, h5_path, expname='multi', opt_pose=True,
+                    opt_rot6d=True, opt_pose_step=2, opt_pose_coef=0.5,
+                    scan_unroll=2)
+    d1 = SurrealDataset(h5_path, N_samples=args.N_rand // args.N_sample_images,
+                        split='train')
+    d2 = SurrealDataset(h5_b, N_samples=args.N_rand // args.N_sample_images,
+                        split='train')
+    cat = ConcatH5Dataset([d1, d2])
+    meta = cat.get_meta()
+    assert meta['rest_pose'].shape[0] == 2
+    assert meta['rest_pose_idxs'].max() == 1
+
+    ctx = train(args, cat, n_iters=6)
+    assert int(ctx.state.step) == 6
+    # pose params cover both subjects' frames
+    assert ctx.state.pose_params['pelvis'].shape[0] == len(meta['kp3d'])
