@@ -32,6 +32,41 @@ def transform_batch_pts(pts: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
     return out + trans[:, None]
 
 
+def transform_batch_pts_flat(pts: jnp.ndarray, skts: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """Same transform, flat (R, S, J*3) output in joint-major layout.
+
+    On TPU the (R, S, J, 3) layout puts the 3-vector on the lane axis
+    (3/128 utilization); this variant keeps J*3 contiguous lanes:
+    out[r, s, j*3+a] = sum_b skts[r, j, a, b] * pts[r, s, b] + t[r, j, a]
+    lowered as one batched (S, 3) @ (3, J*3) matmul per ray.
+    """
+    R, J = skts.shape[0], skts.shape[1]
+    rot_cols = skts[..., :3, :3].transpose(0, 3, 1, 2).reshape(R, 3, J * 3)
+    trans = skts[..., :3, 3].reshape(R, 1, J * 3)
+    return jnp.einsum('rsb,rbc->rsc', pts, rot_cols) + trans
+
+
+def _group3_sumsq(x_flat: jnp.ndarray, J: int) -> jnp.ndarray:
+    """Sum of squares over consecutive triples: (..., J*3) -> (..., J).
+
+    Implemented as a matmul against a 0/1 grouping matrix so the reduction
+    stays lane-parallel (a reshape to (..., J, 3) would put the 3 on lanes).
+    """
+    G = jnp.zeros((J * 3, J), x_flat.dtype)
+    idx = jnp.arange(J * 3)
+    G = G.at[idx, idx // 3].set(1.0)
+    return jnp.einsum('...c,cj->...j', x_flat * x_flat, G)
+
+
+def _expand3(x: jnp.ndarray, J: int) -> jnp.ndarray:
+    """(..., J) -> (..., J*3) joint-major repeat via a 0/1 matmul."""
+    E = jnp.zeros((J, J * 3), x.dtype)
+    idx = jnp.arange(J * 3)
+    E = E.at[idx // 3, idx].set(1.0)
+    return jnp.einsum('...j,jc->...c', x, E)
+
+
 def transform_batch_rays(rays_d: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
     """Ray directions -> per-joint local frame (rotation only).
 

@@ -89,19 +89,44 @@ def encode_inputs(cfg: RenderConfig,
     bone_spec, bone_dims = make_bone_encoder(cfg.bone_type, cfg.skel)
     view_spec, _ = make_view_encoder(cfg.view_type, cfg.skel)
 
-    pts_t = transform_batch_pts(pts, skts)          # (R, S, J, 3)
-    rays_t = transform_batch_rays(rays_d, skts)     # (R, 1, J, 3)
-
-    v = kp_spec(pts, pts_t, kps)
-    r = bone_spec(pts_t, bones=bones, refs=pts) if bone_dims > 0 else None
-    d = view_spec(rays_t, pts_t=pts_t,
-                  refs=None if cfg.view_type == 'relray' else pts)
-
-    # per-joint distances for the cutoff windows (raycasters.py:530-534)
-    if 'Dist' in kp_spec.name:
+    flat_fast = (cfg.kp_dist_type == 'reldist'
+                 and cfg.bone_type in ('reldir', 'Nope')
+                 and cfg.view_type == 'relray')
+    if flat_fast:
+        # lane-parallel layout: all per-joint 3-vector math stays flat
+        # (R, S, J*3) — the (R, S, J, 3) layout puts the 3-vector on the
+        # 128-lane axis at 3/128 utilization (see
+        # ops/encoding.py:transform_batch_pts_flat)
+        from ..ops.encoding import (_expand3, _group3_sumsq,
+                                    transform_batch_pts_flat)
+        J = cfg.skel.n_joints
+        pts_tf = transform_batch_pts_flat(pts, skts)        # (R, S, J*3)
+        v = jnp.sqrt(jnp.maximum(_group3_sumsq(pts_tf, J), 0.0))
+        r = None
+        if bone_dims > 0:
+            r = pts_tf * _expand3(1.0 / jnp.maximum(v, 1e-12), J)
+        R_ = skts.shape[0]
+        rot_cols = skts[..., :3, :3].transpose(0, 3, 1, 2).reshape(
+            R_, 3, J * 3)
+        rays_f = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols)  # (R, 1, J*3)
+        dss = _group3_sumsq(rays_f, J)
+        d = rays_f * _expand3(jax.lax.rsqrt(jnp.maximum(dss, 1e-24)), J)
         j_dists = v
     else:
-        j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None], axis=-1)
+        pts_t = transform_batch_pts(pts, skts)          # (R, S, J, 3)
+        rays_t = transform_batch_rays(rays_d, skts)     # (R, 1, J, 3)
+
+        v = kp_spec(pts, pts_t, kps)
+        r = bone_spec(pts_t, bones=bones, refs=pts) if bone_dims > 0 else None
+        d = view_spec(rays_t, pts_t=pts_t,
+                      refs=None if cfg.view_type == 'relray' else pts)
+
+        # per-joint distances for the cutoff windows (raycasters.py:530-534)
+        if 'Dist' in kp_spec.name:
+            j_dists = v
+        else:
+            j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None],
+                                      axis=-1)
 
     # Emitting the (wide) encodings directly in the MLP compute dtype fuses
     # the cast into the PE elementwise chain and halves the HBM traffic of

@@ -106,3 +106,52 @@ def test_rayang_encoder(rng):
                  * np.linalg.norm(rays_t, axis=-1))
     want = np.arccos(np.clip(cos, -1 + 1e-6, 1 - 1e-6)) - np.pi / 2
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_flat_fast_encode_matches_spec_path(rng):
+    """encode_inputs' lane-parallel flat path == the encoder-spec path."""
+    import jax.numpy as jnp
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import build_tiny, synthetic_batch
+    from anerf_tpu.render.raycaster import encode_inputs
+
+    args, cfg, params, pose = build_tiny(rng)
+    batch = synthetic_batch(rng, pose, n_rays=8, n_images=4)
+    pr = lambda k: batch[k][batch['pose_idx']]
+    rays = batch['rays']
+    pts = rays[:, :3][:, None] + rays[:, 3:6][:, None] * \
+        jnp.linspace(1.0, 3.0, 5)[None, :, None]
+    tau = jnp.float32(30.0)
+
+    got = encode_inputs(cfg, pts, rays[:, 3:6][:, None], pr('kp3d'),
+                        pr('skts'), pr('bones'), params['cutoff_dist'], tau,
+                        None)
+
+    # spec-path oracle (the pre-flat formulation)
+    from anerf_tpu.ops.embedder import embed
+    pts_t = transform_batch_pts(pts, jnp.asarray(pr('skts')))
+    rays_t = transform_batch_rays(rays[:, 3:6][:, None],
+                                  jnp.asarray(pr('skts')))
+    v = np.linalg.norm(np.asarray(pts_t), axis=-1)
+    r = np.asarray(pts_t) / np.linalg.norm(np.asarray(pts_t), axis=-1,
+                                           keepdims=True)
+    r = r.reshape(*r.shape[:2], -1)
+    d = np.asarray(rays_t) / np.linalg.norm(np.asarray(rays_t), axis=-1,
+                                            keepdims=True)
+    d = d.reshape(*d.shape[:2], -1)
+    v_e, _ = embed(cfg.embed_kp, jnp.asarray(v), dists=jnp.asarray(v),
+                   cutoff_dist=params['cutoff_dist'], tau=tau)
+    r_e, _ = embed(cfg.embed_bone, jnp.asarray(r), dists=jnp.asarray(v),
+                   cutoff_dist=params['cutoff_dist'], tau=tau)
+    d_e, _ = embed(cfg.embed_view, jnp.asarray(d), dists=jnp.asarray(v),
+                   cutoff_dist=params['cutoff_dist'], tau=tau)
+
+    np.testing.assert_allclose(np.asarray(got['v'], np.float32),
+                               np.asarray(v_e), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got['r'], np.float32),
+                               np.asarray(r_e), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got['d'], np.float32),
+        np.broadcast_to(np.asarray(d_e), np.asarray(got['d']).shape),
+        atol=1e-4)

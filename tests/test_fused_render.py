@@ -5,10 +5,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from anerf_tpu.kernels.fused_mlp import pack_params
-from anerf_tpu.kernels.fused_render import (build_cut_tau, build_raw_inputs,
+from anerf_tpu.kernels.fused_render import (build_raw_inputs,
                                             fused_encode_mlp,
-                                            fused_render_supported)
+                                            fused_render_supported,
+                                            pack_render_params)
 from anerf_tpu.models.nerf import lookup_framecodes
 from anerf_tpu.render.raycaster import encode_inputs, run_network
 from anerf_tpu.ops.encoding import transform_batch_pts, transform_batch_rays
@@ -49,15 +49,14 @@ def test_fused_render_matches_xla(rng):
     want = run_network(cfg, params['coarse'], enc, fc)
 
     # fused kernel path
-    pts_t = transform_batch_pts(pts, pr('skts'))
-    rays_t = transform_batch_rays(rays_d[:, None], pr('skts'))
-    x_raw = build_raw_inputs(pts_t, rays_t, fc)
-    cut_tau = build_cut_tau(params['cutoff_dist'], tau)
-    packed = pack_params(params['coarse'], cfg.nerf)
+    x_raw = build_raw_inputs(pts, rays_d[:, None], pr('skts'), fc)
+    packed = pack_render_params(params['coarse'], cfg.nerf,
+                                cfg.embed_kp.num_freqs,
+                                cfg.embed_view.num_freqs,
+                                params['cutoff_dist'])
     R = x_raw.shape[0]
-    got = fused_encode_mlp(cfg.nerf, cfg.embed_kp.num_freqs,
-                           cfg.embed_view.num_freqs, packed,
-                           x_raw.reshape(R * S, -1), cut_tau, 256)
+    got = fused_encode_mlp(cfg.nerf, packed, x_raw.reshape(R * S, -1),
+                           256, tau)
     got = got.reshape(R, S, 4)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
