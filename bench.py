@@ -33,9 +33,11 @@ def main():
                                        make_pose_optimizer)
     from anerf_tpu.train.trainer import make_train_step_scan, stack_batches
 
-    n_rays = 2048  # SURREAL recipe N_rand
-    unroll = 10    # train steps fused per dispatch (amortizes host latency)
-    args, cfg, params, pose = _flagship(n_rays=n_rays, n_images=128)
+    n_rays = 2048    # SURREAL recipe N_rand
+    n_images = 128   # SURREAL recipe N_sample_images
+    unroll = 10      # train steps fused per dispatch (amortizes host latency)
+    args, cfg, params, pose = _flagship(n_frames=256, n_rays=n_rays,
+                                        n_images=n_images)
 
     pose_cfg = PoseOptConfig(use_rot6d=args.opt_rot6d)
     opt = make_nerf_optimizer(args.lrate, args.lrate_decay,
@@ -57,7 +59,8 @@ def main():
     step_fn = make_train_step_scan(args, cfg, pose_cfg, rest, opt, popt,
                                    unroll=unroll)
 
-    batches = stack_batches([_batch(pose, n_rays, 8) for _ in range(unroll)])
+    batches = stack_batches([_batch(pose, n_rays, n_images)
+                             for _ in range(unroll)])
     key = jax.random.PRNGKey(0)
 
     # warmup / compile
