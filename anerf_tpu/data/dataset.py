@@ -11,6 +11,7 @@ in-graph gather instead.
 from __future__ import annotations
 
 import math
+import threading
 from typing import Any, Dict, List, Optional, Tuple
 
 import h5py
@@ -50,6 +51,9 @@ class BaseH5Dataset:
         self._idx_map = None
         self._render_idx_map = None
         self.rng = np.random.default_rng(seed)
+        # the prefetch pool calls into the dataset from several threads;
+        # numpy Generators are not thread-safe
+        self._rng_lock = threading.Lock()
 
         # native C++ fast path for the sampling/gather inner loop
         # (anerf_tpu/native); only covers the plain single-pixel sampler
@@ -154,7 +158,9 @@ class BaseH5Dataset:
     # ---- index arithmetic (subclass hooks) ----
 
     def get_kp_idx(self, idx, q_idx):
-        return idx, q_idx
+        # modulo keeps the base class valid for grid layouts where several
+        # images share one pose row (1:1 datasets are unaffected: idx < len)
+        return idx % len(self.kp3d), q_idx % len(self.kp3d)
 
     def get_cam_idx(self, idx, q_idx):
         return idx, q_idx
@@ -189,7 +195,9 @@ class BaseH5Dataset:
         if len(valid_idxs) == 0:
             valid_idxs = np.arange(len(sampling_mask))
         replace = len(valid_idxs) < N_rand
-        sampled_idxs = self.rng.choice(valid_idxs, N_rand, replace=replace)
+        with self._rng_lock:
+            sampled_idxs = self.rng.choice(valid_idxs, N_rand,
+                                           replace=replace)
 
         if p > 1:
             H, W = self.HW
@@ -261,7 +269,8 @@ class BaseH5Dataset:
         fs = self._native
         sampling_mask = np.ascontiguousarray(
             self.dataset['sampling_masks'][idx]).reshape(-1)
-        seed = int(self.rng.integers(0, 2 ** 63 - 1))
+        with self._rng_lock:
+            seed = int(self.rng.integers(0, 2 ** 63 - 1))
         idx_bytes = fs.sample_mask_pixels(sampling_mask.tobytes(),
                                           self.N_samples, seed)
         pixel_idxs = np.frombuffer(idx_bytes, np.int64)

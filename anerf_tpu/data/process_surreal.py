@@ -9,10 +9,8 @@ sampling masks to the cylinder's 2D projection, and writes the canonical h5.
 from __future__ import annotations
 
 import glob
-import math
 import os
 import pickle
-from typing import List, Sequence
 
 import numpy as np
 
@@ -96,7 +94,7 @@ def process_surreal_data(h5_file: str, data_path: str,
                          extend_iter: int = 2,
                          ext_scale: float = 0.001) -> dict:
     """Convert a raw SURREAL dump under `data_path` (sequence dirs named
-    *_*/ with metadata.pkl, *-*/\*segm.mat, *-*/imageSequences/*.png) to the
+    *_*/ with metadata.pkl, *-*/ *segm.mat, *-*/imageSequences/*.png) to the
     canonical h5 at `h5_file`."""
     import imageio.v2 as imageio
     from scipy.io import loadmat

@@ -11,7 +11,7 @@ disk; untested in-repo.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ c2ws (N, 4, 4), focals (N,) [optional centers (N, 2)], ext_scale ().
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import h5py
 import numpy as np

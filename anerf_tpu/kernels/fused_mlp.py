@@ -21,7 +21,7 @@ accumulation via the f32 bias add).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ rays_d (R, 1, 3). All static under jit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax.numpy as jnp
 import numpy as np

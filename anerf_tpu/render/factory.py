@@ -6,11 +6,10 @@ initializes the parameter pytree {'coarse', 'fine', 'cutoff_dist'}.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import TrainConfig
 from ..models.nerf import NeRFConfig, init_nerf_params

@@ -14,7 +14,7 @@ TPU re-design of reference core/raycasters.py:326-822. Differences by design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ step/optimizer (cutoff_embedder.py:233-236).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -8,7 +8,6 @@ checkpoint/validation.
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Any, Dict, Optional

@@ -20,8 +20,6 @@ Batch contract (all static shapes; R rays, NI images per batch):
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -33,10 +31,8 @@ from ..ops.embedder import alpha_schedule, tau_schedule
 from ..ops.rotations import rot_to_rot6d
 from ..pose.pose_opt import PoseOptConfig, fk_lookup
 from ..render.raycaster import RenderConfig, render_rays
-from .losses import acc2bce, get_loss_fn, get_reg_fn, img2psnr
-from .state import (TrainState, grad_norms, make_nerf_optimizer,
-                    make_pose_optimizer, tree_add, tree_select,
-                    tree_zeros_like)
+from .losses import get_loss_fn, get_reg_fn, img2psnr
+from .state import TrainState, grad_norms, tree_select
 
 
 def derive_schedules(args: TrainConfig, cfg: RenderConfig, step: jnp.ndarray,

@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .metrics import evaluate_metric_arrays, pa_mpjpe, mpjpe
+from .metrics import mpjpe, pa_mpjpe
 
 
 def write_metric_txts(outdir: str, metrics_per_image: Dict[str, List[float]]
