@@ -111,6 +111,44 @@ def get_bones_axisang(params: Dict[str, Any], cfg: PoseOptConfig
     return bones
 
 
+def get_noisy_bones(bones: np.ndarray, noise_degree: float,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Add half-masked gaussian noise to axis-angle bones
+    (reference skeleton_utils.py:289-295)."""
+    rng = rng or np.random.default_rng()
+    scale = np.pi / 180.0 * noise_degree
+    mask = (rng.random(bones.shape) > 0.5).astype(np.float32)
+    return bones + rng.normal(0, scale, bones.shape) * mask
+
+
+def perturb_poses(bones: np.ndarray, kp3d: np.ndarray,
+                  rest_pose: np.ndarray,
+                  noise_degree: float = 0.1,
+                  noise_pelvis_mm: Optional[float] = None,
+                  ext_scale: float = 0.001,
+                  rng: Optional[np.random.Generator] = None,
+                  skel: Skeleton = SMPLSkeleton):
+    """Simulate noisy pose estimates for pose-refinement experiments
+    (reference perturb_poses, skeleton_utils.py:297-321).
+
+    Returns (noisy_bones, noisy_skts, noisy_kp3d).
+    """
+    from ..ops.fk import get_smpl_l2ws_np
+    rng = rng or np.random.default_rng()
+    noisy_bones = (bones if noise_degree is None
+                   else get_noisy_bones(bones, noise_degree, rng))
+    pelvis = kp3d[:, skel.root_id].copy()
+    if noise_pelvis_mm is not None:
+        pelvis += rng.normal(scale=noise_pelvis_mm * ext_scale,
+                             size=pelvis.shape)
+    l2ws = np.stack([get_smpl_l2ws_np(b, rest_pose, skel=skel)
+                     for b in noisy_bones])
+    l2ws[:, :, :3, -1] += pelvis[:, None]
+    noisy_skts = np.linalg.inv(l2ws).astype(np.float32)
+    noisy_kp = l2ws[:, :, :3, -1].astype(np.float32)
+    return noisy_bones.astype(np.float32), noisy_skts, noisy_kp
+
+
 def pose_anchor_tree(kp3d: np.ndarray, bones: np.ndarray) -> Dict[str, Any]:
     """Regularization anchors (reference create_popt, pose_opt.py:49-72).
 

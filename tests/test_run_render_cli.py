@@ -101,3 +101,25 @@ def test_run_validation_saves_images(trained):
     assert any(f.startswith('rgb_') for f in files)
     assert any(f.startswith('skel_') for f in files)
     assert any(f.startswith('disp_') for f in files)
+
+
+def test_render_from_reference_tar(trained, monkeypatch, tmp_path):
+    """Export the trained model as a reference .tar and render through the
+    run_render tar branch."""
+    tmp, h5, ctx = trained
+    from anerf_tpu.pose.ckpt_compat import export_reference_checkpoint
+    import jax.numpy as jnp
+
+    tar = str(tmp_path / 'model.tar')
+    export_reference_checkpoint(
+        tar, ctx.state.params, global_step=8, tau=20.0,
+        pose_params={'pelvis': ctx.data_attrs['kp3d'][:, 0],
+                     'bones': ctx.data_attrs['bones']},
+        rest_pose=ctx.data_attrs['rest_pose'])
+
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='bullet', selected_idxs=None,
+                        runname='tar', ckptpath=tar)
+    out = rr.run_render(args)
+    assert out['rgbs'].shape[0] == 6
+    assert np.isfinite(out['rgbs']).all()
