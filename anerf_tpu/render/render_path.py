@@ -38,11 +38,14 @@ def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
         chunk = R // n_buckets
 
         def one(rb):
-            return render_rays(
+            ret = render_rays(
                 params, test_cfg, rb, kp3d, skts, bones, cyls,
                 cam_idxs=cam_idxs if use_framecode_idx else None,
                 rng=None, tau=tau,
                 eval_framecode_mean=not use_framecode_idx)
+            # only the consumed fields: per-sample alpha/weight maps would
+            # otherwise be materialized bucket-by-bucket into HBM
+            return {k: ret[k] for k in ('rgb_map', 'disp_map', 'acc_map')}
 
         rays_b = rays.reshape(n_buckets, chunk, rays.shape[-1])
         out = jax.lax.map(one, rays_b)
