@@ -118,8 +118,14 @@ def embed(cfg: EmbedConfig,
           cutoff_dist: Optional[jnp.ndarray] = None,
           tau: Optional[jnp.ndarray] = None,
           alpha: Optional[jnp.ndarray] = None,
+          out_dtype=None,
           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Apply the (cutoff) positional encoding.
+
+    out_dtype: if set (e.g. bfloat16), the sin/cos ARGUMENTS stay f32 (the
+    high-frequency phases need the mantissa) but the results are emitted in
+    out_dtype, so the wide stack/schedule/concat/window-multiply chain runs
+    at half HBM bandwidth and the cast into the MLP compute dtype is free.
 
     inputs: (..., D). dists: (..., cutoff_dim) per-joint distances (only used
     when cfg.cutoff). cutoff_dist: (cutoff_dim,) per-joint cutoff radii.
@@ -155,12 +161,19 @@ def embed(cfg: EmbedConfig,
 
     w = 1.0 - jax.nn.sigmoid(v)[..., None, :]                # (..., 1, D)
 
+    if out_dtype is not None:
+        w = w.astype(out_dtype)
+        x = x.astype(out_dtype)
+
     # stack (sin, cos) pairs f-major: (..., NF, 2, D) -> (..., 2NF, D)
     sin = jnp.sin(inputs_freq)
     cos = jnp.cos(inputs_freq)
+    if out_dtype is not None:
+        sin, cos = sin.astype(out_dtype), cos.astype(out_dtype)
     emb = jnp.stack([sin, cos], axis=-2)
     emb = emb.reshape(*emb.shape[:-3], 2 * NF, emb.shape[-1])
-    emb = emb * _schedule_w(cfg, alpha)
+    sched = _schedule_w(cfg, alpha)
+    emb = emb * (sched.astype(out_dtype) if out_dtype is not None else sched)
 
     # `inputs` may carry broadcast batch dims (e.g. view encodings are
     # (R, 1, D) while dists are (R, S, J)): the window multiply broadcasts,

@@ -134,17 +134,19 @@ def encode_inputs(cfg: RenderConfig,
     enc_dtype = cfg.dtype or jnp.float32
 
     v_e, _ = embed(cfg.embed_kp, v, dists=j_dists, cutoff_dist=cutoff_dist,
-                   tau=tau, alpha=alpha_sched)
+                   tau=tau, alpha=alpha_sched, out_dtype=cfg.dtype)
     v_e = v_e.astype(enc_dtype)
     r_e = None
     if r is not None and cfg.embed_bone is not None:
         r_e, _ = embed(cfg.embed_bone, r, dists=j_dists,
-                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched)
+                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched,
+                       out_dtype=cfg.dtype)
         r_e = r_e.astype(enc_dtype)
     d_e = None
     if cfg.use_viewdirs and cfg.embed_view is not None:
         d_e, _ = embed(cfg.embed_view, d, dists=j_dists,
-                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched)
+                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched,
+                       out_dtype=cfg.dtype)
         d_e = d_e.astype(enc_dtype)
         if d_e.shape[1] == 1:
             d_e = jnp.broadcast_to(d_e, (d_e.shape[0], pts.shape[1],

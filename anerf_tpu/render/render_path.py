@@ -17,25 +17,63 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cylinder import cylinder_to_box_2d, get_kp_bounding_cylinder
-from ..ops.rays import get_rays_np, nerf_c2w_to_extrinsic
+from ..ops.rays import nerf_c2w_to_extrinsic
 from .raycaster import RenderConfig, render_rays
 
 
 def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
-    """Jitted renderer: scans all ray buckets of one pose in ONE dispatch
-    (per-dispatch latency dominates on remote-attached chips; the reference
-    instead loops `chunk`-sized forwards host-side, trainer.py:64-79).
+    """Jitted renderer: generates the culled-box rays ON DEVICE and scans
+    all buckets of one pose in ONE dispatch (per-dispatch latency and
+    host->device bandwidth dominate on remote-attached chips; the reference
+    instead builds rays host-side and loops `chunk`-sized forwards,
+    trainer.py:64-79 + ray_utils.py:83-136).
 
-    The bucket count is part of the trace; pose ray counts are padded to
-    power-of-two bucket counts by the caller to bound recompiles.
+    Per pose only the camera (4x4), intrinsics scalars, the 2D box, and the
+    pose tables cross the host boundary. The bucket count is static; pose
+    ray counts pad to power-of-two bucket counts to bound recompiles.
     """
     test_cfg = cfg.test_mode()
 
-    @functools.partial(jax.jit, static_argnames=('n_buckets',))
-    def fn(params, rays, kp3d, skts, bones, cyls, cam_idxs, tau,
-           n_buckets: int = 1):
-        R = rays.shape[0]
-        chunk = R // n_buckets
+    # packed per-pose scalar vector layout (ONE tiny upload per pose):
+    # [ c2w(16) | fx fy | ox oy | tl_x tl_y | box_w | pose_idx | cam_idx
+    #   | tau ] = 26 floats; pose tables are uploaded ONCE for the whole
+    # path and indexed on device — per-pose host traffic is 104 bytes.
+    @functools.partial(jax.jit, static_argnames=('n_buckets', 'chunk'))
+    def fn(params, scal, kp3d_all, skts_all, bones_all, cyls_all,
+           n_buckets: int = 1, chunk: int = 4096):
+        c2w = scal[:16].reshape(4, 4)
+        fxfy, offset_xy = scal[16:18], scal[18:20]
+        box_tl = scal[20:22]
+        box_w = scal[22].astype(jnp.int32)
+        pose_idx = scal[23].astype(jnp.int32)
+        cam_idx = scal[24].astype(jnp.int32)
+        tau = scal[25]
+
+        kp3d = jnp.broadcast_to(kp3d_all[pose_idx],
+                                (chunk,) + kp3d_all.shape[1:])
+        skts = jnp.broadcast_to(skts_all[pose_idx],
+                                (chunk,) + skts_all.shape[1:])
+        bones = (jnp.broadcast_to(bones_all[pose_idx],
+                                  (chunk,) + bones_all.shape[1:])
+                 if bones_all is not None else None)
+        cyls = jnp.broadcast_to(cyls_all[pose_idx],
+                                (chunk, cyls_all.shape[-1]))
+        cam_idxs = jnp.broadcast_to(cam_idx, (chunk,))
+
+        R = n_buckets * chunk
+        # enumerate box pixels row-major: k -> (tl_y + k//bw, tl_x + k%bw)
+        k = jnp.arange(R)
+        py = box_tl[1] + (k // box_w).astype(jnp.float32)
+        px = box_tl[0] + (k % box_w).astype(jnp.float32)
+        dirs = jnp.stack([(px - offset_xy[0]) / fxfy[0],
+                          -(py - offset_xy[1]) / fxfy[1],
+                          -jnp.ones_like(px)], -1)
+        rays_d = dirs @ c2w[:3, :3].T
+        rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        zeros = jnp.zeros((R, 1), jnp.float32)
+        rays = jnp.concatenate([rays_o, rays_d, zeros, zeros + 1.0,
+                                viewdirs], -1)
 
         def one(rb):
             ret = render_rays(
@@ -45,11 +83,11 @@ def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
                 eval_framecode_mean=not use_framecode_idx)
             # only the consumed fields: per-sample alpha/weight maps would
             # otherwise be materialized bucket-by-bucket into HBM
-            return {k: ret[k] for k in ('rgb_map', 'disp_map', 'acc_map')}
+            return {k_: ret[k_] for k_ in ('rgb_map', 'disp_map', 'acc_map')}
 
         rays_b = rays.reshape(n_buckets, chunk, rays.shape[-1])
         out = jax.lax.map(one, rays_b)
-        return {k: v.reshape((R,) + v.shape[2:]) for k, v in out.items()}
+        return {k_: v.reshape((R,) + v.shape[2:]) for k_, v in out.items()}
     return fn
 
 
@@ -60,36 +98,32 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def render_one_pose(render_fn, params, rays_o, rays_d, kp, skt, bone, cyl,
-                    cam_idx: Optional[int], tau: float,
+def pack_pose_scalars(c2w, focal, center, tl, br, pose_idx: int,
+                      cam_idx: Optional[int], tau: float) -> np.ndarray:
+    """Pack one pose's camera + box + indices into the 26-float vector the
+    device renderer unpacks (see make_render_fn)."""
+    f = np.asarray(focal, np.float32).reshape(-1)
+    fx = float(f[0])
+    fy = float(f[1]) if f.size > 1 else fx
+    bw = max(int(br[0] - tl[0]), 1)
+    return np.concatenate([
+        np.asarray(c2w, np.float32).reshape(-1)[:16],
+        np.asarray([fx, fy, float(center[0]), float(center[1]),
+                    float(tl[0]), float(tl[1]), float(bw),
+                    float(pose_idx), float(cam_idx or 0), float(tau)],
+                   np.float32)])
+
+
+def render_one_pose(render_fn, params, tables, scal: np.ndarray, n: int,
                     chunk: int = 4096) -> Dict[str, np.ndarray]:
-    """Render a (possibly irregular) set of rays: pad to a power-of-two
-    bucket count, one device dispatch."""
-    n = rays_o.shape[0]
+    """Render the culled 2D box of one pose. Ray generation happens on
+    device; `tables` are the already-uploaded stacked pose tables and
+    `scal` the packed 26-float vector (pack_pose_scalars). Returns
+    per-box-pixel (row-major) outputs of length n."""
     n_buckets = _next_pow2(max(1, -(-n // chunk)))
-    n_pad = n_buckets * chunk
-    pad = n_pad - n
-
-    rays_o = np.concatenate([rays_o, np.repeat(rays_o[-1:], pad, 0)])
-    rays_d = np.concatenate([rays_d, np.repeat(rays_d[-1:], pad, 0)])
-    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-    near = np.zeros((n_pad, 1), np.float32)
-    far = np.ones((n_pad, 1), np.float32)
-    rays = jnp.asarray(np.concatenate([rays_o, rays_d, near, far, viewdirs],
-                                      -1).astype(np.float32))
-
-    # per-ray pose rows within one bucket (replicated across buckets by the
-    # closure): broadcast to chunk rows once
-    kp_b = jnp.broadcast_to(jnp.asarray(kp), (chunk,) + kp.shape[-2:])
-    skt_b = jnp.broadcast_to(jnp.asarray(skt), (chunk,) + skt.shape[-3:])
-    bone_b = (jnp.broadcast_to(jnp.asarray(bone), (chunk,) + bone.shape[-2:])
-              if bone is not None else None)
-    cyl_b = jnp.broadcast_to(jnp.asarray(cyl), (chunk, cyl.shape[-1]))
-    cam_b = (jnp.full((chunk,), cam_idx, jnp.int32)
-             if cam_idx is not None else None)
-
-    ret = render_fn(params, rays, kp_b, skt_b, bone_b, cyl_b, cam_b,
-                    jnp.float32(tau), n_buckets=n_buckets)
+    ret = render_fn(params, scal, tables['kp3d'], tables['skts'],
+                    tables['bones'], tables['cyls'],
+                    n_buckets=n_buckets, chunk=chunk)
     return {k: np.asarray(ret[k])[:n]
             for k in ('rgb_map', 'disp_map', 'acc_map')}
 
@@ -123,6 +157,14 @@ def render_path(params, cfg: RenderConfig,
             top_expand_ratio=1.60, bot_expand_ratio=1.10, head='-y')
 
     render_fn = make_render_fn(cfg, use_framecode_idx)
+    # one upload for ALL pose tables; poses index into them on device
+    tables = {
+        'kp3d': jax.device_put(np.asarray(kps, np.float32)),
+        'skts': jax.device_put(np.asarray(skts, np.float32)),
+        'bones': (None if bones is None
+                  else jax.device_put(np.asarray(bones, np.float32))),
+        'cyls': jax.device_put(np.asarray(cyls, np.float32)),
+    }
     rgbs, disps, accs, bboxes = [], [], [], []
     for i in range(n_poses):
         t0 = time.time()
@@ -141,23 +183,27 @@ def render_path(params, cfg: RenderConfig,
         c2w = np.asarray(c2ws[i], np.float32)
         center = None if centers is None else centers[i]
 
-        ray_o, ray_d = get_rays_np(H, W, focal, c2w, center=center)
         w2c = nerf_c2w_to_extrinsic(c2w)
         tl, br, _ = cylinder_to_box_2d(cyls[pose_i], [H, W, focal], w2c,
                                        center=center)
+        # the device enumerates box pixels row-major; mirror it for scatter
         hh, ww = np.meshgrid(np.arange(tl[1], br[1]),
                              np.arange(tl[0], br[0]), indexing='ij')
         valid_idx = (hh * W + ww).reshape(-1)
 
-        out = render_one_pose(
-            render_fn, params,
-            ray_o.reshape(-1, 3)[valid_idx].astype(np.float32),
-            ray_d.reshape(-1, 3)[valid_idx].astype(np.float32),
-            kps[pose_i], skts[pose_i],
-            None if bones is None else bones[pose_i],
-            cyls[pose_i],
-            None if cam_idxs is None else int(cam_idxs[i % len(cam_idxs)]),
-            tau, chunk)
+        offset = (center if center is not None
+                  else np.array([W * 0.5, H * 0.5], np.float32))
+        if len(valid_idx) == 0:
+            out = {'rgb_map': np.zeros((0, 3), np.float32),
+                   'disp_map': np.zeros((0,), np.float32),
+                   'acc_map': np.zeros((0,), np.float32)}
+        else:
+            scal = pack_pose_scalars(
+                c2w, focal, offset, tl, br, pose_i,
+                None if cam_idxs is None
+                else int(cam_idxs[i % len(cam_idxs)]), tau)
+            out = render_one_pose(render_fn, params, tables, scal,
+                                  len(valid_idx), chunk)
 
         # composite onto background canvas (run_nerf.py:100-131)
         if bgs is not None and bg_idxs is not None:
