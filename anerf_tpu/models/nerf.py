@@ -19,6 +19,7 @@ Parameter tree schema (documented for checkpoint import/export):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -102,14 +103,40 @@ def init_nerf_params(key: jax.Array, cfg: NeRFConfig) -> Dict[str, Any]:
     return params
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dense_mixed(w, b, x, compute_dtype):
+    y = x.astype(compute_dtype) @ w.astype(compute_dtype)
+    return y.astype(jnp.float32) + b
+
+
+def _dense_mixed_fwd(w, b, x, compute_dtype):
+    return _dense_mixed(w, b, x, compute_dtype), (w, x)
+
+
+def _dense_mixed_bwd(compute_dtype, res, g):
+    # Activation cotangents stay in compute_dtype: the incoming g is f32
+    # (the f32 bias-add makes the primal output f32), and letting it flow
+    # into the dots at f32 makes EVERY layer's input-grad matmul write an
+    # f32 activation-sized tensor (~0.6 GB/step measured). Weight/bias
+    # grads still accumulate in f32 (small outputs).
+    w, x = res
+    g_lo = g.astype(compute_dtype)
+    gx = g_lo @ w.astype(compute_dtype).T
+    gw = jnp.einsum('...i,...o->io', x.astype(compute_dtype), g_lo,
+                    preferred_element_type=jnp.float32)
+    gb = g.sum(tuple(range(g.ndim - 1)))
+    return gw.astype(w.dtype), gb, gx.astype(x.dtype)
+
+
+_dense_mixed.defvjp(_dense_mixed_fwd, _dense_mixed_bwd)
+
+
 def _dense(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
            compute_dtype=None) -> jnp.ndarray:
     w, b = p['w'], p['b']
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    y = x @ w
-    return y.astype(jnp.float32) + b
+    if compute_dtype is None:
+        return x @ w + b
+    return _dense_mixed(w, b, x, compute_dtype)
 
 
 def forward_density(params: Dict[str, Any], cfg: NeRFConfig,
@@ -125,8 +152,12 @@ def forward_density(params: Dict[str, Any], cfg: NeRFConfig,
     for i, layer in enumerate(params['pts_linears']):
         h = _dense(layer, h, compute_dtype)
         h = jax.nn.relu(h)
+        if compute_dtype is not None:
+            # store activations (and therefore their cotangents) in the
+            # compute dtype; per-layer accumulation stays f32 in _dense
+            h = h.astype(compute_dtype)
         if i in cfg.skips:
-            h = jnp.concatenate([input_pts, h], -1)
+            h = jnp.concatenate([input_pts.astype(h.dtype), h], -1)
     return h
 
 
@@ -160,9 +191,14 @@ def forward_view(params: Dict[str, Any], cfg: NeRFConfig,
     if cfg.use_framecode:
         assert framecodes is not None
         input_views = jnp.concatenate([input_views, framecodes], -1)
+    if compute_dtype is not None:
+        feature = feature.astype(compute_dtype)
+        input_views = input_views.astype(compute_dtype)
     hv = jnp.concatenate([feature, input_views], -1)
     for layer in params['views_linears']:
         hv = jax.nn.relu(_dense(layer, hv, compute_dtype))
+        if compute_dtype is not None:
+            hv = hv.astype(compute_dtype)
     return _dense(params['rgb_linear'], hv, compute_dtype)
 
 

@@ -112,6 +112,41 @@ def _schedule_w(cfg: EmbedConfig, alpha: Optional[jnp.ndarray]) -> jnp.ndarray:
     return w.reshape(-1, 1)  # (2NF, 1), f-major (sin, cos) pairs
 
 
+def _make_sincos_pe(fb: np.ndarray, out_dtype):
+    """sin/cos PE block with a low-precision backward.
+
+    Forward: args (x broadcast against the freq bands) stay f32 — the
+    high-frequency phases need the mantissa — but sin/cos emit in
+    out_dtype. Backward: the wide (..., NF, D) cotangent math runs entirely
+    in out_dtype (sin/cos recomputed, never stored), and only the
+    freq-reduced (..., D) input gradient is accumulated in f32. Without
+    this, the VJP of the f32->bf16 convert upcasts the cotangents and the
+    backward pass writes ~0.6 GB/step of f32 encoding gradients.
+    """
+    fb_f = jnp.asarray(fb, jnp.float32)
+
+    @jax.custom_vjp
+    def sincos_pe(x):
+        arg = fb_f[:, None] * x[..., None, :]
+        return jnp.sin(arg).astype(out_dtype), jnp.cos(arg).astype(out_dtype)
+
+    def fwd(x):
+        return sincos_pe(x), x
+
+    def bwd(x, cots):
+        cot_s, cot_c = cots
+        arg = fb_f[:, None] * x[..., None, :]
+        s = jnp.sin(arg).astype(out_dtype)
+        c = jnp.cos(arg).astype(out_dtype)
+        g_arg = cot_s * c - cot_c * s                      # (..., NF, D)
+        gx = jnp.einsum('...fd,f->...d', g_arg, fb_f.astype(out_dtype),
+                        preferred_element_type=jnp.float32)
+        return (gx.astype(x.dtype),)
+
+    sincos_pe.defvjp(fwd, bwd)
+    return sincos_pe
+
+
 def embed(cfg: EmbedConfig,
           inputs: jnp.ndarray,
           dists: Optional[jnp.ndarray] = None,
@@ -144,7 +179,7 @@ def embed(cfg: EmbedConfig,
         dists_e = jnp.repeat(dists, e, axis=-1)              # (..., D)
         cut_e = jnp.repeat(cutoff_dist, e, axis=-1)          # (D,)
         x = inputs                                           # raw include block
-        inputs_freq = fb[:, None] * x[..., None, :]          # (..., NF, D)
+        x_freq = x                                           # feeds sin/cos
         v = tau * (dists_e - cut_e)
     else:
         # inputs are themselves the per-joint distances
@@ -155,21 +190,20 @@ def embed(cfg: EmbedConfig,
         # NOTE: shift applies only to the frequency inputs; the raw
         # include-input block stays unshifted (cutoff_embedder.py:129-136
         # never reassigns `inputs` in the shift branch).
-        x_pe = x * (2.0 / cutoff_dist) - 1.0 if cfg.shift_inputs else x
-        inputs_freq = fb[:, None] * x_pe[..., None, :]       # (..., NF, D)
+        x_freq = x * (2.0 / cutoff_dist) - 1.0 if cfg.shift_inputs else x
         v = tau * (dists_e - cutoff_dist)
 
     w = 1.0 - jax.nn.sigmoid(v)[..., None, :]                # (..., 1, D)
 
+    # (..., NF, D) sin/cos; low-precision emission + backward when asked
     if out_dtype is not None:
         w = w.astype(out_dtype)
         x = x.astype(out_dtype)
-
+        sin, cos = _make_sincos_pe(cfg.freq_bands(), out_dtype)(x_freq)
+    else:
+        inputs_freq = fb[:, None] * x_freq[..., None, :]
+        sin, cos = jnp.sin(inputs_freq), jnp.cos(inputs_freq)
     # stack (sin, cos) pairs f-major: (..., NF, 2, D) -> (..., 2NF, D)
-    sin = jnp.sin(inputs_freq)
-    cos = jnp.cos(inputs_freq)
-    if out_dtype is not None:
-        sin, cos = sin.astype(out_dtype), cos.astype(out_dtype)
     emb = jnp.stack([sin, cos], axis=-2)
     emb = emb.reshape(*emb.shape[:-3], 2 * NF, emb.shape[-1])
     sched = _schedule_w(cfg, alpha)

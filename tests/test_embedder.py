@@ -3,6 +3,7 @@ semantics (core/cutoff_embedder.py:111-197)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from anerf_tpu.ops.embedder import (EmbedConfig, alpha_schedule, embed,
@@ -148,3 +149,34 @@ def test_shift_inputs_keeps_raw_block(rng):
     shifted = x * (2.0 / 0.5) - 1.0
     w = 1.0 - 1.0 / (1.0 + np.exp(-(15.0 * (x - 0.5))))
     np.testing.assert_allclose(got[..., 1, :], np.sin(shifted) * w, atol=1e-5)
+
+
+def test_bf16_out_dtype_values_and_grads(rng):
+    """out_dtype=bfloat16 emits the same encoding (to bf16 tolerance) and
+    its custom low-precision backward matches the f32 gradients."""
+    x = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    d = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    cutoff = np.full((24,), 0.5, dtype=np.float32)
+    cfg = EmbedConfig(input_dims=24, num_freqs=5, cutoff=True, cutoff_dim=24,
+                      cutoff_inputs=True, dist_inputs=False)
+
+    def f(xx, dd, dtype):
+        e, _ = embed(cfg, xx, dists=dd, cutoff_dist=jnp.asarray(cutoff),
+                     tau=jnp.float32(20.0), out_dtype=dtype)
+        # weighted sum so every channel contributes a distinct gradient
+        wsum = jnp.arange(e.size, dtype=jnp.float32).reshape(e.shape) / e.size
+        return jnp.sum(e.astype(jnp.float32) * wsum)
+
+    v32, g32 = jax.value_and_grad(f, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(d), None)
+    v16, g16 = jax.value_and_grad(f, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(d), jnp.bfloat16)
+    assert np.isclose(float(v32), float(v16), rtol=2e-2)
+    for a, b in zip(g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16 backward: errors must be small relative to the gradient
+        # SCALE (near-zero entries see pure rounding noise)
+        floor = 0.1 * np.abs(a).mean() + 1e-6
+        rel = np.abs(a - b) / np.maximum(np.abs(a), floor)
+        assert float(rel.mean()) < 0.01, float(rel.mean())
+        assert float(rel.max()) < 0.2, float(rel.max())
