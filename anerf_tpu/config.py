@@ -159,6 +159,8 @@ class TrainConfig:
     # TPU-native additions (not in the reference)
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all
     compute_dtype: str = 'bfloat16'    # MLP matmul dtype
+    fast_grads: bool = False           # bf16 cotangents/PE: +18% step speed,
+                                       # ~2 dB background-PSNR cost (PERF.md)
     use_pallas: bool = True            # fused render kernel where available
     scan_unroll: int = 8               # train steps fused per device dispatch
     seed: int = 0

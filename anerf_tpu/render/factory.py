@@ -93,7 +93,7 @@ def build_render_config(args: TrainConfig, data_attrs: Dict[str, Any]
         single_net=args.single_net, use_viewdirs=args.use_viewdirs,
         density_type=args.density_type, softplus_shift=args.softplus_shift,
         density_scale=args.density_scale,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, fast_grads=args.fast_grads)
 
 
 def init_render_params(key: jax.Array, args: TrainConfig, cfg: RenderConfig

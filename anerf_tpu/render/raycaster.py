@@ -59,6 +59,9 @@ class RenderConfig:
     density_scale: float = 1.0
     rgb_eps: float = 0.001
     compute_dtype: str = 'bfloat16'   # 'bfloat16' | 'float32'
+    # opt-in low-precision backward + PE emission: ~18% faster train step,
+    # measured ~2 dB background-PSNR cost on the synthetic recipe (PERF.md)
+    fast_grads: bool = False
 
     @property
     def dtype(self):
@@ -132,21 +135,24 @@ def encode_inputs(cfg: RenderConfig,
     # the cast into the PE elementwise chain and halves the HBM traffic of
     # the encode->MLP boundary (the 360/648-wide tensors).
     enc_dtype = cfg.dtype or jnp.float32
+    # low-precision PE emission/backward only on the opt-in fast path: the
+    # double rounding measurably costs background PSNR (PERF.md)
+    _pe_dtype = cfg.dtype if cfg.fast_grads else None
 
     v_e, _ = embed(cfg.embed_kp, v, dists=j_dists, cutoff_dist=cutoff_dist,
-                   tau=tau, alpha=alpha_sched, out_dtype=cfg.dtype)
+                   tau=tau, alpha=alpha_sched, out_dtype=_pe_dtype)
     v_e = v_e.astype(enc_dtype)
     r_e = None
     if r is not None and cfg.embed_bone is not None:
         r_e, _ = embed(cfg.embed_bone, r, dists=j_dists,
                        cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched,
-                       out_dtype=cfg.dtype)
+                       out_dtype=_pe_dtype)
         r_e = r_e.astype(enc_dtype)
     d_e = None
     if cfg.use_viewdirs and cfg.embed_view is not None:
         d_e, _ = embed(cfg.embed_view, d, dists=j_dists,
                        cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched,
-                       out_dtype=cfg.dtype)
+                       out_dtype=_pe_dtype)
         d_e = d_e.astype(enc_dtype)
         if d_e.shape[1] == 1:
             d_e = jnp.broadcast_to(d_e, (d_e.shape[0], pts.shape[1],
@@ -169,7 +175,7 @@ def run_network(cfg: RenderConfig, params: Dict[str, Any],
         fc = jnp.broadcast_to(framecodes[:, None],
                               pts_in.shape[:2] + (framecodes.shape[-1],))
     return apply_nerf(params, cfg.nerf, pts_in, views_in, fc,
-                      compute_dtype=cfg.dtype)
+                      compute_dtype=cfg.dtype, fast_grads=cfg.fast_grads)
 
 
 def _sample_pts(key, rays_o, rays_d, z_vals, ray_noise_std):

@@ -141,3 +141,21 @@ def test_train_step_sharded_matches_single(rng):
     ls = jax.tree_util.tree_leaves(s_shard.params)
     for a, b in zip(lp, ls):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_step_fast_grads(rng):
+    """Opt-in bf16-cotangent path: step runs, loss finite and decreasing."""
+    args, cfg, params, pose = build_tiny(rng, compute_dtype='bfloat16',
+                                         fast_grads=True)
+    assert cfg.fast_grads
+    state, opt, _ = make_state(args, params)
+    step_fn = make_train_step(args, cfg, None, None, opt, None, donate=False)
+    batch = synthetic_batch(rng, pose)
+    batch['target_s'] = jnp.full_like(batch['target_s'], 0.3)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(20):
+        state, out = step_fn(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(out['losses']['total_loss']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
