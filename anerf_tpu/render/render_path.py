@@ -114,16 +114,24 @@ def pack_pose_scalars(c2w, focal, center, tl, br, pose_idx: int,
                    np.float32)])
 
 
+def render_one_pose_async(render_fn, params, tables, scal: np.ndarray,
+                          n: int, chunk: int = 4096):
+    """Dispatch one pose's render; returns the UN-materialized device dict
+    (JAX dispatch is asynchronous — callers can queue several poses before
+    blocking on transfers). Ray generation happens on device; `tables` are
+    the already-uploaded stacked pose tables and `scal` the packed 26-float
+    vector (pack_pose_scalars)."""
+    n_buckets = _next_pow2(max(1, -(-n // chunk)))
+    return render_fn(params, scal, tables['kp3d'], tables['skts'],
+                     tables['bones'], tables['cyls'],
+                     n_buckets=n_buckets, chunk=chunk)
+
+
 def render_one_pose(render_fn, params, tables, scal: np.ndarray, n: int,
                     chunk: int = 4096) -> Dict[str, np.ndarray]:
-    """Render the culled 2D box of one pose. Ray generation happens on
-    device; `tables` are the already-uploaded stacked pose tables and
-    `scal` the packed 26-float vector (pack_pose_scalars). Returns
-    per-box-pixel (row-major) outputs of length n."""
-    n_buckets = _next_pow2(max(1, -(-n // chunk)))
-    ret = render_fn(params, scal, tables['kp3d'], tables['skts'],
-                    tables['bones'], tables['cyls'],
-                    n_buckets=n_buckets, chunk=chunk)
+    """Blocking variant of render_one_pose_async: returns per-box-pixel
+    (row-major) numpy outputs of length n."""
+    ret = render_one_pose_async(render_fn, params, tables, scal, n, chunk)
     return {k: np.asarray(ret[k])[:n]
             for k in ('rgb_map', 'disp_map', 'acc_map')}
 
@@ -165,9 +173,12 @@ def render_path(params, cfg: RenderConfig,
                   else jax.device_put(np.asarray(bones, np.float32))),
         'cyls': jax.device_put(np.asarray(cyls, np.float32)),
     }
-    rgbs, disps, accs, bboxes = [], [], [], []
+    # phase 1: dispatch every pose (JAX queues asynchronously); keep a
+    # bounded in-flight window so outputs don't pile up in HBM
+    MAX_INFLIGHT = 8
+    pending: list = []
+    meta: list = []
     for i in range(n_poses):
-        t0 = time.time()
         H = int(H_all if np.isscalar(H_all) else np.asarray(H_all).reshape(-1)[
             i % np.asarray(H_all).size])
         W = int(W_all if np.isscalar(W_all) else np.asarray(W_all).reshape(-1)[
@@ -194,18 +205,35 @@ def render_path(params, cfg: RenderConfig,
         offset = (center if center is not None
                   else np.array([W * 0.5, H * 0.5], np.float32))
         if len(valid_idx) == 0:
-            out = {'rgb_map': np.zeros((0, 3), np.float32),
-                   'disp_map': np.zeros((0,), np.float32),
-                   'acc_map': np.zeros((0,), np.float32)}
+            dev = None
         else:
             scal = pack_pose_scalars(
                 c2w, focal, offset, tl, br, pose_i,
                 None if cam_idxs is None
                 else int(cam_idxs[i % len(cam_idxs)]), tau)
-            out = render_one_pose(render_fn, params, tables, scal,
-                                  len(valid_idx), chunk)
+            dev = render_one_pose_async(render_fn, params, tables, scal,
+                                        len(valid_idx), chunk)
+        if len(pending) >= MAX_INFLIGHT:
+            prev = pending[len(pending) - MAX_INFLIGHT]
+            if prev is not None:
+                jax.block_until_ready(prev['rgb_map'])
+        pending.append(dev)
+        meta.append((H, W, valid_idx, tl, br))
 
-        # composite onto background canvas (run_nerf.py:100-131)
+    # phase 2: materialize + composite onto background canvases
+    # (run_nerf.py:100-131) while later poses still compute
+    rgbs, disps, accs, bboxes = [], [], [], []
+    t0 = time.time()
+    for i, (dev, (H, W, valid_idx, tl, br)) in enumerate(zip(pending, meta)):
+        if dev is None:
+            out = {'rgb_map': np.zeros((0, 3), np.float32),
+                   'disp_map': np.zeros((0,), np.float32),
+                   'acc_map': np.zeros((0,), np.float32)}
+        else:
+            n = len(valid_idx)
+            out = {k: np.asarray(dev[k])[:n]
+                   for k in ('rgb_map', 'disp_map', 'acc_map')}
+
         if bgs is not None and bg_idxs is not None:
             canvas = np.asarray(bgs[bg_idxs[i % len(bg_idxs)]],
                                 np.float32).copy()
@@ -232,7 +260,7 @@ def render_path(params, cfg: RenderConfig,
         accs.append(acc_img.reshape(H, W))
         bboxes.append(np.stack([tl, br]))
         if verbose:
-            print(f'pose {i}: {time.time() - t0:.2f}s '
+            print(f'pose {i}: +{time.time() - t0:.2f}s '
                   f'({len(valid_idx)} rays)')
 
     return {'rgbs': np.stack(rgbs), 'disps': np.stack(disps),
