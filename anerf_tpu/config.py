@@ -38,6 +38,8 @@ class TrainConfig:
     lrate_decay: int = 250
     lrate_decay_rate: float = 0.1
     decay_unit: int = 1000
+    # parsed for reference parity, dead in the reference too: its only
+    # consumer is a literal `pass` (reference core/raycasters.py:219-220)
     weight_decay: Optional[float] = None
     single_net: bool = False
     coarse_weight: float = 1.0
@@ -55,7 +57,12 @@ class TrainConfig:
     init_poseopt: Optional[str] = None
     no_poseopt_reload: bool = False
     finetune: bool = False
+    # freeze the first fix_layer density-trunk layers during finetune
+    # (reference core/raycasters.py:215-217); wired via
+    # train/state.py:freeze_mask_flat
     fix_layer: int = 0
+    # parsed for reference parity, dead in the reference too: get_loss_fn
+    # never passes to_yuv (reference core/trainer.py:147-157)
     use_yuv: bool = False
 
     # rendering
@@ -97,6 +104,8 @@ class TrainConfig:
     opt_pose_lrate: float = 5e-4
     opt_pose_lrate_decay: int = 250
     opt_pose_decay_rate: float = 1.0
+    # parsed for reference parity, near-dead in the reference: warmup only
+    # feeds the unused PoseOptFlipFlop path (reference core/pose_opt.py:631)
     opt_pose_warmup: int = 0
     opt_pose_decay_unit: int = 400
     opt_pose_cache: bool = False
@@ -164,6 +173,12 @@ class TrainConfig:
     use_pallas: bool = True            # fused render kernel where available
     scan_unroll: int = 8               # train steps fused per device dispatch
     seed: int = 0
+    # opt-in occupancy culling: keep ratio*N_samples samples per ray (the
+    # ones inside the cutoff windows), skipping encode/MLP on the rest.
+    # 0 disables. Diverges from the reference's measurement protocol —
+    # report A/B both ways (see PERF.md).
+    cull_ratio: float = 0.0
+    cull_margin: float = 0.1           # widen keep region vs cutoff radius
 
 
 _BOOL_TRUE = {'true', '1', 'yes', 'y'}

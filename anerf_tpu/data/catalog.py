@@ -32,6 +32,8 @@ DATASET_CATALOG = {
     'zju': {k: f'data/zju_mocap/{k}_train_h5py.h5'
             for k in ['315', '377', '386', '387', '390', '392', '393',
                       '394']},
+    '3dhp': {k: f'data/mpi_3dhp/{k}_processed_h5py.h5'
+             for k in ['S1', 'S2', 'S3', 'S4', 'S5', 'S6']},
     # escape hatch: treat `subject` as a literal h5 path
     'h5': {},
 }
@@ -68,4 +70,7 @@ def get_dataset_from_catalog(args: TrainConfig, n_samples: int,
                               N_rand_kps=args.rand_train_kps, **shared)
     if dataset_type == 'zju':
         return ZJUMocapDataset(path, **shared)
+    if dataset_type == '3dhp':
+        from .mpi3dhp import ThreeDHPDataset
+        return ThreeDHPDataset(path, **shared)
     raise NotImplementedError(f'dataset {dataset_type} is not implemented')

@@ -38,9 +38,16 @@ class MonoPerfCapDataset(PoseRefinedDataset):
                 self._idx_map = val_idxs
             else:
                 raise NotImplementedError(f'split {self.split}')
-        self.temp_validity = np.ones(len(train_idxs))
-        self.temp_validity[0] = 0
+        self._n_train = len(train_idxs)
         super().init_meta()
         # MonoPerfCap SPIN estimates are off by a small camera scale
         # (reference load_perfcap.py:89)
         self.c2ws[..., :3, -1] /= 1.05
+
+    def init_temporal_validity(self):
+        # temporal smoothness invalid at sequence start; called from the
+        # base init_meta (an assignment before super().init_meta() would
+        # be overwritten by this hook's return value)
+        v = np.ones(self._n_train)
+        v[0] = 0
+        return v

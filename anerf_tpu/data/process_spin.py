@@ -189,8 +189,13 @@ def _load_spin_file(data_path: str) -> dict:
 
 def read_spin_data(data_path: str, ext_scale: float = 0.001,
                    img_res: int = 1000, bbox_res: int = 224,
-                   rest_pose: Optional[np.ndarray] = None):
-    """Read a SPIN output pack and convert (process_spin.py:14-42)."""
+                   rest_pose: Optional[np.ndarray] = None,
+                   subject_filter: Optional[str] = None):
+    """Read a SPIN output pack and convert (process_spin.py:14-42).
+
+    subject_filter: keep only frames whose img_path contains the string
+    (multi-subject packs like 3DHP's, reference load_3dhp.py:25-31).
+    """
     spin = _load_spin_file(data_path)
     betas = np.asarray(spin['pred_betas'])
     joints = np.asarray(spin['joints'] if 'joints' in spin
@@ -198,6 +203,19 @@ def read_spin_data(data_path: str, ext_scale: float = 0.001,
     rot_mats = np.asarray(spin['pred_rot_mat'])
     bboxes = np.asarray(spin['bbox_params'])
     cameras = np.asarray(spin.get('pred_camera', spin.get('pred_cam')))
+
+    if subject_filter is not None:
+        paths = [p.decode() if isinstance(p, bytes) else str(p)
+                 for p in spin['img_path']]
+        keep = np.array([i for i, p in enumerate(paths)
+                         if subject_filter in p], np.int64)
+        betas, joints = betas[keep], joints[keep]
+        rot_mats, bboxes, cameras = rot_mats[keep], bboxes[keep], \
+            cameras[keep]
+        spin = dict(spin)
+        spin['img_path'] = np.asarray(paths)[keep]
+        if 'pose_3d' in spin:
+            spin['pose_3d'] = np.asarray(spin['pose_3d'])[keep]
 
     out = process_spin_data(betas, cameras, joints, rot_mats, bboxes,
                             res=img_res, resized_res=bbox_res,

@@ -93,7 +93,27 @@ def build_render_config(args: TrainConfig, data_attrs: Dict[str, Any]
         single_net=args.single_net, use_viewdirs=args.use_viewdirs,
         density_type=args.density_type, softplus_shift=args.softplus_shift,
         density_scale=args.density_scale,
-        compute_dtype=args.compute_dtype, fast_grads=args.fast_grads)
+        compute_dtype=args.compute_dtype, fast_grads=args.fast_grads,
+        n_keep=_n_keep(args, skel), cull_margin=args.cull_margin)
+
+
+def _n_keep(args: TrainConfig, skel: Skeleton) -> int:
+    """Static per-ray sample budget from --cull_ratio (0 = culling off).
+
+    Culling scores samples by per-joint distance vs the cutoff radii, so
+    it requires a per-joint cutoff layout (reldist-family encoders).
+    """
+    if args.cull_ratio <= 0.0 or args.cull_ratio >= 1.0:
+        return 0
+    _, input_dims, cutoff_dims = make_kp_encoder(args.kp_dist_type, skel)
+    if cutoff_dims != skel.n_joints:
+        raise NotImplementedError(
+            '--cull_ratio requires a per-joint cutoff encoder '
+            f'(kp_dist_type={args.kp_dist_type} has cutoff_dim='
+            f'{cutoff_dims})')
+    # multiple of 8 keeps the (R, S) lattice sublane-aligned on TPU
+    keep = int(round(args.N_samples * args.cull_ratio / 8.0)) * 8
+    return max(8, min(keep, args.N_samples))
 
 
 def init_render_params(key: jax.Array, args: TrainConfig, cfg: RenderConfig

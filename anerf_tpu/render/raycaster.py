@@ -14,7 +14,7 @@ TPU re-design of reference core/raycasters.py:326-822. Differences by design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,15 @@ class RenderConfig:
     # opt-in low-precision backward + PE emission: ~18% faster train step,
     # measured ~2 dB background-PSNR cost on the synthetic recipe (PERF.md)
     fast_grads: bool = False
+    # opt-in sample culling (--cull_ratio): keep only the n_keep samples
+    # per ray closest to the body (inside the cutoff windows, ordered by
+    # z), drop the rest before encode/MLP. The cutoff window already
+    # drives their encodings to zero; culling skips their compute
+    # entirely. 0 = off. cull_margin widens the keep region relative to
+    # the cutoff radius so softly-windowed samples near the boundary
+    # still render/train.
+    n_keep: int = 0
+    cull_margin: float = 0.1
 
     @property
     def dtype(self):
@@ -178,6 +187,37 @@ def run_network(cfg: RenderConfig, params: Dict[str, Any],
                       compute_dtype=cfg.dtype, fast_grads=cfg.fast_grads)
 
 
+def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,
+                 kps: jnp.ndarray, cutoff_dist: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-budget occupancy culling: keep cfg.n_keep samples per ray.
+
+    Keeps the in-window samples (any joint within cutoff*(1+margin)) in z
+    order; when a ray has fewer in-window samples than the budget, the
+    nearest out-of-window samples pad the set (they render exactly as in
+    the un-culled path). Per-joint distance is rotation-invariant
+    (|w2l(p)| == |p - joint|), so the score needs no skeleton transform.
+    Static shapes throughout: (R, S) -> (R, n_keep).
+    """
+    rel = pts[:, None, :, :] - kps[:, :, None, :]          # (R, J, S, 3)
+    d2 = jnp.sum(rel * rel, -1).transpose(0, 2, 1)          # (R, S, J)
+    cut = cutoff_dist * (1.0 + cfg.cull_margin)
+    in_window = jnp.any(d2 < (cut * cut)[None, None, :], axis=-1)  # (R, S)
+
+    # partition: in-window (by z) first, out-of-window (by z) after;
+    # z_vals is ascending so one stable key sort does both
+    span = z_vals[:, -1:] - z_vals[:, :1] + 1e-6
+    key_order = jnp.where(in_window, 0.0, 1.0) * (span * 4.0) + z_vals
+    order = jnp.argsort(key_order, axis=-1)[:, :cfg.n_keep]
+    z_k = jnp.take_along_axis(z_vals, order, -1)
+    # restore ascending z among the kept set (mixed groups break it)
+    z_order = jnp.argsort(z_k, -1)
+    sel = jnp.take_along_axis(order, z_order, -1)           # (R, n_keep)
+    z_kept = jnp.take_along_axis(z_k, z_order, -1)
+    pts_kept = jnp.take_along_axis(pts, sel[..., None], axis=1)
+    return z_kept, pts_kept
+
+
 def _sample_pts(key, rays_o, rays_d, z_vals, ray_noise_std):
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     if ray_noise_std > 0.0 and key is not None:
@@ -217,6 +257,9 @@ def render_rays(params: Dict[str, Any],
 
     cutoff_dist = params['cutoff_dist']
     act_fn = get_density_fn(cfg.density_type, cfg.softplus_shift)
+
+    if cfg.n_keep and cfg.n_keep < cfg.n_samples:
+        z_vals, pts = cull_samples(cfg, z_vals, pts, kp_batch, cutoff_dist)
 
     framecodes = None
     if cfg.nerf.use_framecode:

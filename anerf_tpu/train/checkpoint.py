@@ -58,6 +58,69 @@ def restore_checkpoint(exp_dir: str, target: TrainState,
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
+def restore_from_path(path: str, target: TrainState
+                      ) -> Optional[TrainState]:
+    """Restore from an explicit path (--ft_path, reference
+    raycasters.py:125-126: ft_path replaces the expdir ckpt search).
+
+    Accepts an experiment dir (containing checkpoints/), a checkpoints
+    dir, a specific step dir, or a reference torch .tar (weights only).
+    """
+    if path.endswith('.tar'):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ..pose.ckpt_compat import load_reference_checkpoint
+        params, extras = load_reference_checkpoint(path)
+        step = int(extras.get('global_step') or 0)
+        return dataclasses.replace(target, params=params,
+                                   step=jnp.int32(step))
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    p = os.path.abspath(path)
+    step = None
+    if os.path.basename(p).isdigit():
+        step, p = int(os.path.basename(p)), os.path.dirname(p)
+    elif os.path.isdir(os.path.join(p, 'checkpoints')):
+        p = os.path.join(p, 'checkpoints')
+    if not os.path.isdir(p):
+        raise FileNotFoundError(f'--ft_path checkpoint not found: {path}')
+    # Raw restore + weights-only merge: the source run's optimizer layout
+    # may differ from this run's (e.g. fix_layer chains a mask transform),
+    # and ft_path semantics only promise weights anyway.
+    with ocp.CheckpointManager(p) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            return None
+        raw = mgr.restore(step)
+
+    def merge(t, r, what):
+        if r is None:
+            return t
+        try:
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, jnp.asarray(a).dtype), t, r)
+        except ValueError as e:
+            raise ValueError(
+                f'--ft_path {path}: checkpoint {what} tree does not match '
+                f'this run\'s model config') from e
+
+    out = dataclasses.replace(
+        target,
+        step=jnp.int32(int(np.asarray(raw['step']))),
+        params=merge(target.params, raw.get('params'), 'params'))
+    if target.pose_params is not None and raw.get('pose_params') is not None:
+        out = dataclasses.replace(
+            out,
+            pose_params=merge(target.pose_params, raw['pose_params'],
+                              'pose_params'),
+            anchors=merge(target.anchors, raw.get('anchors'), 'anchors'))
+    return out
+
+
 def save_pose_checkpoint(exp_dir: str, state: TrainState, step: int) -> str:
     """Pose-only snapshot (reference save_popt, trainer.py:508-516)."""
     path = os.path.join(os.path.abspath(exp_dir), 'pose_checkpoints',

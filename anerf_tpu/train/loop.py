@@ -94,8 +94,13 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
     key = jax.random.PRNGKey(args.seed)
     params = init_render_params(key, args, cfg)
 
+    freeze = None
+    if args.finetune and args.fix_layer > 0:
+        from anerf_tpu.train.state import freeze_mask_flat
+        freeze = freeze_mask_flat(params, args.fix_layer)
     optimizer = make_nerf_optimizer(args.lrate, args.lrate_decay,
-                                    args.lrate_decay_rate, args.decay_unit)
+                                    args.lrate_decay_rate, args.decay_unit,
+                                    freeze_mask=freeze)
 
     pose_cfg = None
     pose_optimizer = None
@@ -129,7 +134,11 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
 
     start_step = 0
     if not args.no_reload:
-        restored = restore_checkpoint(exp_dir, state)
+        if args.ft_path:
+            from anerf_tpu.train.checkpoint import restore_from_path
+            restored = restore_from_path(args.ft_path, state)
+        else:
+            restored = restore_checkpoint(exp_dir, state)
         if restored is not None:
             state = restored
             start_step = int(state.step)

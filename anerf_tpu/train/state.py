@@ -40,12 +40,42 @@ def decay_schedule(lrate: float, lrate_decay: int, decay_rate: float,
     return sched
 
 
+def freeze_mask_flat(params: Dict[str, Any], fix_layer: int) -> jnp.ndarray:
+    """Flat 0/1 mask over the raveled params: 0 for the first `fix_layer`
+    density-trunk layers of every network (reference fix_layer finetune
+    freezing, core/raycasters.py:215-217), 1 elsewhere.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    mask = jax.tree_util.tree_map(
+        lambda x: jnp.ones(jnp.shape(x), jnp.float32), params)
+    for net in mask:
+        if isinstance(mask[net], dict) and 'pts_linears' in mask[net]:
+            layers = mask[net]['pts_linears']
+            for i in range(min(int(fix_layer), len(layers))):
+                layers[i] = jax.tree_util.tree_map(
+                    jnp.zeros_like, layers[i])
+    flat, _ = ravel_pytree(mask)
+    return flat
+
+
 def make_nerf_optimizer(lrate: float, lrate_decay: int, decay_rate: float,
-                        decay_unit: int) -> optax.GradientTransformation:
-    return optax.adam(
+                        decay_unit: int,
+                        freeze_mask: Optional[jnp.ndarray] = None
+                        ) -> optax.GradientTransformation:
+    opt = optax.adam(
         learning_rate=decay_schedule(lrate, lrate_decay, decay_rate,
                                      decay_unit),
         b1=0.9, b2=0.999, eps=1e-8)
+    if freeze_mask is None:
+        return opt
+    # Zero the post-Adam update on frozen entries; operates on the
+    # flattened vector the optimizer runs over (see init_opt_state).
+    zero_frozen = optax.GradientTransformation(
+        init=lambda params: optax.EmptyState(),
+        update=lambda updates, state, params=None: (
+            updates * freeze_mask, state))
+    return optax.chain(opt, zero_frozen)
 
 
 def make_pose_optimizer(lrate: float, lrate_decay: int, decay_rate: float,

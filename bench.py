@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": R}
+   "vs_baseline": R, ...extras}
 
 The north-star metric (BASELINE.md) is rays/sec/chip on the SURREAL recipe
 (N_rand 2048, 64+16 samples, multires 7/4, cutoff PE, full 8x256 MLP).
@@ -10,8 +10,16 @@ vs_baseline is measured against a reference-implementation A100 estimate of
 ~120k train rays/s (the reference publishes no numbers; see BASELINE.md —
 this constant documents the assumption and is revised when a measured
 baseline lands).
+
+Protocol (remote-tunnel hygiene, PERF.md): inputs alternate between two
+distinct batch stacks and every dispatch chains through the train state, so
+the axon tunnel cannot memoize; >=3 repeats of >=6 timed dispatches each
+after a steady-state warmup, median reported (tunnel throughput varies
+~2x run-to-run — a single-shot number is noise).
 """
+import argparse
 import json
+import statistics
 import time
 
 import numpy as np
@@ -23,7 +31,7 @@ import jax.numpy as jnp
 REFERENCE_TRAIN_RAYS_PER_SEC = 120_000.0
 
 
-def main():
+def build(fast_grads=False, cull_ratio=0.0):
     from __graft_entry__ import _batch, _flagship
     from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
                                          pose_anchor_tree)
@@ -38,6 +46,15 @@ def main():
     unroll = 10      # train steps fused per dispatch (amortizes host latency)
     args, cfg, params, pose = _flagship(n_frames=256, n_rays=n_rays,
                                         n_images=n_images)
+    if fast_grads or cull_ratio:
+        import dataclasses
+        args = dataclasses.replace(args, fast_grads=fast_grads,
+                                   cull_ratio=cull_ratio)
+        from anerf_tpu.render.factory import build_render_config
+        from anerf_tpu.skeleton import SMPLSkeleton
+        cfg = build_render_config(args, {
+            'skel_type': SMPLSkeleton, 'n_views': 256,
+            'rest_pose': pose['rest_pose']})
 
     pose_cfg = PoseOptConfig(use_rot6d=args.opt_rot6d)
     opt = make_nerf_optimizer(args.lrate, args.lrate_decay,
@@ -59,27 +76,176 @@ def main():
     step_fn = make_train_step_scan(args, cfg, pose_cfg, rest, opt, popt,
                                    unroll=unroll)
 
-    batches = stack_batches([_batch(pose, n_rays, n_images)
-                             for _ in range(unroll)])
+    # two DISTINCT input stacks to alternate between (tunnel memoization)
+    stacks = [stack_batches([_batch(pose, n_rays, n_images)
+                             for _ in range(unroll)]),
+              stack_batches([_batch(pose, n_rays, n_images)
+                             for _ in range(unroll)])]
+    return state, step_fn, stacks, n_rays * unroll
+
+
+def measure(state, step_fn, stacks, rays_per_dispatch,
+            n_warmup=2, n_repeats=3, n_dispatch=6):
     key = jax.random.PRNGKey(0)
-
-    # warmup / compile
-    state, _ = step_fn(state, batches, key)
+    for i in range(n_warmup):
+        state, _ = step_fn(state, stacks[i % 2], jax.random.fold_in(key, i))
     jax.block_until_ready(state.params)
 
-    n_dispatch = 5
-    t0 = time.perf_counter()
-    for i in range(n_dispatch):
-        state, out = step_fn(state, batches, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    rates = []
+    k = n_warmup
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_dispatch):
+            state, out = step_fn(state, stacks[k % 2],
+                                 jax.random.fold_in(key, k))
+            k += 1
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        rates.append(rays_per_dispatch * n_dispatch / dt)
+    return statistics.median(rates), max(rates), state
 
-    rays_per_sec = n_rays * unroll * n_dispatch / dt
+
+def scaling_table(n_devices: int):
+    """Weak-scaling harness (--n_devices): per-chip rays/s + efficiency
+    over a device mesh. On a CPU host this exercises a VIRTUAL mesh —
+    correctness/plumbing only, no perf claims (VERDICT r1 #10); on real
+    multi-chip hardware the same path measures ICI scaling.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get('_ANERF_SCALING_CPU') == '1':
+        # inner re-exec: force the CPU platform through the config API
+        # (the axon TPU plugin IGNORES JAX_PLATFORMS=cpu — same trap as
+        # __graft_entry__.dryrun_multichip)
+        jax.config.update('jax_platforms', 'cpu')
+
+    if len(jax.devices()) < n_devices:
+        if os.environ.get('_ANERF_SCALING_CPU') == '1':
+            raise SystemExit(
+                f'need {n_devices} devices, have {len(jax.devices())} '
+                f'even on the forced CPU mesh')
+        # not enough real chips: re-exec on a virtual CPU mesh
+        env = dict(os.environ, JAX_PLATFORMS='cpu', _ANERF_SCALING_CPU='1')
+        keep = [f for f in env.get('XLA_FLAGS', '').split()
+                if 'xla_force_host_platform_device_count' not in f]
+        env['XLA_FLAGS'] = ' '.join(
+            keep + [f'--xla_force_host_platform_device_count='
+                    f'{max(n_devices, 8)}'])
+        here = os.path.dirname(os.path.abspath(__file__))
+        raise SystemExit(subprocess.run(
+            [sys.executable, os.path.join(here, 'bench.py'),
+             '--n_devices', str(n_devices)], env=env, cwd=here).returncode)
+
+    from __graft_entry__ import _batch, _flagship
+    from anerf_tpu.parallel.mesh import make_mesh, shard_ray_batch
+    from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
+                                         pose_anchor_tree)
+    from anerf_tpu.train.state import (TrainState, init_opt_state,
+                                       init_pose_opt_state,
+                                       make_nerf_optimizer,
+                                       make_pose_optimizer)
+    from anerf_tpu.train.trainer import make_train_step
+
+    on_cpu = jax.devices()[0].platform == 'cpu'
+    rows = []
+    sizes = [d for d in (1, 2, 4, 8, 16) if d <= n_devices]
+    for nd in sizes:
+        rays_per_chip = 256 if on_cpu else 2048
+        n_rays = rays_per_chip * nd
+        args, cfg, params, pose = _flagship(n_frames=32, n_rays=n_rays,
+                                            n_images=8)
+        if on_cpu:
+            import dataclasses
+            args = dataclasses.replace(
+                args, netwidth=64, netdepth=4, multires=4, multires_views=2,
+                N_samples=16, N_importance=8, compute_dtype='float32')
+            from anerf_tpu.render.factory import (build_render_config,
+                                                  init_render_params)
+            from anerf_tpu.skeleton import SMPLSkeleton
+            cfg = build_render_config(args, {
+                'skel_type': SMPLSkeleton, 'n_views': 32,
+                'rest_pose': pose['rest_pose']})
+            params = init_render_params(jax.random.PRNGKey(0), args, cfg)
+
+        pose_cfg = PoseOptConfig(use_rot6d=args.opt_rot6d)
+        opt = make_nerf_optimizer(args.lrate, args.lrate_decay,
+                                  args.lrate_decay_rate, args.decay_unit)
+        popt = make_pose_optimizer(args.opt_pose_lrate,
+                                   args.opt_pose_lrate_decay,
+                                   args.opt_pose_decay_rate,
+                                   args.opt_pose_decay_unit)
+        pose_params = init_pose_params(pose['kp3d'], pose['bones'], pose_cfg)
+        state = TrainState(
+            step=jnp.int32(0), params=params,
+            opt_state=init_opt_state(opt, params),
+            pose_params=pose_params,
+            pose_opt_state=init_pose_opt_state(popt, pose_params)[0],
+            pose_grad_acc=init_pose_opt_state(popt, pose_params)[1],
+            anchors=pose_anchor_tree(pose['kp3d'], pose['bones']))
+        step_fn = make_train_step(args, cfg, pose_cfg,
+                                  jnp.asarray(pose['rest_pose']), opt, popt,
+                                  donate=False)
+        mesh = make_mesh(nd)
+        batch = shard_ray_batch(mesh, _batch(pose, n_rays, 8))
+        key = jax.random.PRNGKey(0)
+        state, _ = step_fn(state, batch, key)          # compile
+        jax.block_until_ready(state.params)
+        reps = 4
+        t0 = time.perf_counter()
+        for i in range(reps):
+            state, _ = step_fn(state, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        total = n_rays * reps / dt
+        rows.append((nd, total, total / nd))
+
+    base = rows[0][2]
+    print(f'{"devices":>8} {"rays/s":>12} {"rays/s/chip":>12} '
+          f'{"weak-scaling eff":>17}')
+    for nd, total, per_chip in rows:
+        print(f'{nd:>8} {total:>12.0f} {per_chip:>12.0f} '
+              f'{per_chip / base:>16.1%}')
+    print(json.dumps({
+        'metric': 'weak_scaling_eff',
+        'value': round(rows[-1][2] / base, 4),
+        'unit': f'per-chip efficiency at {rows[-1][0]} devices'
+                + (' (virtual CPU mesh)' if on_cpu else ''),
+        'vs_baseline': round(rows[-1][2] / base, 4),
+    }))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--fast_grads_only', action='store_true')
+    p.add_argument('--skip_fast_grads', action='store_true')
+    p.add_argument('--n_devices', type=int, default=0,
+                   help='weak-scaling mode over an n-device mesh')
+    a = p.parse_args()
+
+    if a.n_devices:
+        return scaling_table(a.n_devices)
+
+    extras = {}
+    default_med = None
+    if not a.fast_grads_only:
+        state, step_fn, stacks, rpd = build(fast_grads=False)
+        default_med, default_best, _ = measure(state, step_fn, stacks, rpd)
+        extras['best'] = round(default_best, 1)
+    if not a.skip_fast_grads:
+        state, step_fn, stacks, rpd = build(fast_grads=True)
+        fg_med, fg_best, _ = measure(state, step_fn, stacks, rpd)
+        extras['fast_grads'] = round(fg_med, 1)
+        extras['fast_grads_best'] = round(fg_best, 1)
+
+    headline = default_med if default_med is not None else fg_med
     print(json.dumps({
         'metric': 'train_rays_per_sec',
-        'value': round(rays_per_sec, 1),
+        'value': round(headline, 1),
         'unit': 'rays/s',
-        'vs_baseline': round(rays_per_sec / REFERENCE_TRAIN_RAYS_PER_SEC, 3),
+        'vs_baseline': round(headline / REFERENCE_TRAIN_RAYS_PER_SEC, 3),
+        **extras,
     }))
 
 

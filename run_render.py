@@ -216,11 +216,15 @@ def evaluate(args, out, data_h5, mode_kwargs, outdir, H, W):
 
     from anerf_tpu.utils.metrics import evaluate_metric_arrays
 
-    sel = mode_kwargs.get('selected_idxs')
+    sel = np.asarray(mode_kwargs.get('selected_idxs'))
+    # h5py fancy indexing needs increasing unique indices; read at the
+    # sorted positions then invert back so GT frames line up with the
+    # render order (renders follow `sel` as given, not sorted).
+    uniq, inv = np.unique(sel, return_inverse=True)
     with h5py.File(data_h5, 'r', swmr=True) as f:
-        gts = f['imgs'][np.sort(np.asarray(sel))].reshape(
-            -1, H, W, 3).astype(np.float32) / 255.
-        fgs = f['masks'][np.sort(np.asarray(sel))].reshape(-1, H, W, 1)
+        gts = f['imgs'][uniq].reshape(
+            -1, H, W, 3).astype(np.float32)[inv] / 255.
+        fgs = f['masks'][uniq].reshape(-1, H, W, 1)[inv]
     metrics = evaluate_metric_arrays(out['rgbs'], gts, fgs=fgs,
                                      boxes=out['bboxes'])
     print('eval:', metrics)

@@ -100,3 +100,32 @@ def test_concat_dataset(h5_path, tmp_path):
     assert meta['n_subjects'] == 2
     assert meta['rest_pose'].shape == (2, 24, 3)
     assert meta['rest_pose_idxs'].shape == (len(d1.kp3d) + len(d2.kp3d),)
+
+
+def test_3dhp_dataset_splits(h5_path):
+    """3DHP loader: ::9 val split, temporal validity, per-subject fixes
+    (reference load_3dhp.py:143-215)."""
+    from anerf_tpu.data.mpi3dhp import ThreeDHPDataset
+
+    n_imgs = 12
+    full = ThreeDHPDataset(h5_path, N_samples=16, split='full',
+                           subject='S1')
+    train = ThreeDHPDataset(h5_path, N_samples=16, split='train',
+                            subject='S1')
+    val = ThreeDHPDataset(h5_path, N_samples=16, split='val', subject='S1')
+    assert len(train) == n_imgs
+    assert len(val) == len(np.arange(n_imgs)[::9])
+    assert train.temp_validity[0] == 0 and train.temp_validity[1:].all()
+
+    item = train.get_item(3)
+    assert item['rays_o'].shape == (16, 3)
+    assert np.isfinite(item['target_s']).all()
+
+    # S2: backgrounds forced to zero (load_3dhp.py:153)
+    s2 = ThreeDHPDataset(h5_path, N_samples=16, split='train', subject='S2')
+    assert (s2.bgs == 0).all() and not (full.bgs == 0).all()
+
+    # S5/S6: camera translation divided by 0.82 (load_3dhp.py:155-159)
+    s5 = ThreeDHPDataset(h5_path, N_samples=16, split='train', subject='S5')
+    np.testing.assert_allclose(s5.c2ws[..., :3, -1] * 0.82,
+                               full.c2ws[..., :3, -1], rtol=1e-6)

@@ -103,6 +103,34 @@ def test_run_validation_saves_images(trained):
     assert any(f.startswith('disp_') for f in files)
 
 
+def test_eval_unsorted_selected_idxs(tmp_path):
+    """GT frames must follow the render (selection) order, not sorted order
+    (regression: evaluate() used np.sort on the h5 read, misaligning
+    GT with renders for any unsorted selected_idxs)."""
+    import h5py
+    import run_render
+
+    H = W = 16
+    n = 4
+    imgs = np.stack([np.full((H * W, 3), i * 40, np.uint8)
+                     for i in range(n)])
+    masks = np.ones((n, H * W, 1), np.uint8)
+    h5 = str(tmp_path / 'eval.h5')
+    with h5py.File(h5, 'w') as f:
+        f.create_dataset('imgs', data=imgs)
+        f.create_dataset('masks', data=masks)
+
+    sel = np.array([2, 0, 1])
+    out = {'rgbs': imgs[sel].reshape(-1, H, W, 3).astype(np.float32) / 255.,
+           'bboxes': None}
+    import argparse
+    args = argparse.Namespace(eval=True)
+    metrics = run_render.evaluate(
+        args, out, h5, {'selected_idxs': sel}, str(tmp_path), H, W)
+    # renders are bit-identical to correctly ordered GT -> psnr is infinite
+    assert metrics['psnr'] > 60.0
+
+
 def test_render_from_reference_tar(trained, monkeypatch, tmp_path):
     """Export the trained model as a reference .tar and render through the
     run_render tar branch."""

@@ -159,3 +159,44 @@ def test_train_step_fast_grads(rng):
         losses.append(float(out['losses']['total_loss']))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fix_layer_freezes_trunk(rng):
+    """finetune + fix_layer freezes the first density-trunk layers of every
+    net while the rest train (reference core/raycasters.py:215-217)."""
+    from anerf_tpu.train.state import freeze_mask_flat
+
+    # raw_noise_std>0 keeps relu-density gradients alive at cold init (at
+    # noise=0 an unlucky init leaves the fine net's sigma all-negative and
+    # relu kills its gradient exactly — same property as the reference)
+    args, cfg, params, pose = build_tiny(rng, raw_noise_std=1.0)
+    freeze = freeze_mask_flat(params, fix_layer=2)
+    opt = make_nerf_optimizer(args.lrate, args.lrate_decay,
+                              args.lrate_decay_rate, args.decay_unit,
+                              freeze_mask=freeze)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=init_opt_state(opt, params),
+                       pose_params=None, pose_opt_state=None,
+                       pose_grad_acc=None, anchors=None)
+    step_fn = make_train_step(args, cfg, None, None, opt, None, donate=False)
+    batch = synthetic_batch(rng, pose)
+    key = jax.random.PRNGKey(0)
+
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params)
+    for i in range(3):
+        state, _ = step_fn(state, batch, jax.random.fold_in(key, i))
+    p1 = state.params
+
+    for net in ('coarse', 'fine'):
+        if p1[net] is None:
+            continue
+        for i in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(p1[net]['pts_linears'][i]['w']),
+                p0[net]['pts_linears'][i]['w'])
+        # a later trunk layer and the heads must have moved
+        assert not np.array_equal(
+            np.asarray(p1[net]['pts_linears'][2]['w']),
+            p0[net]['pts_linears'][2]['w'])
+        assert not np.array_equal(np.asarray(p1[net]['rgb_linear']['w']),
+                                  p0[net]['rgb_linear']['w'])
