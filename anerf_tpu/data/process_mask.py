@@ -52,12 +52,58 @@ def make_sampling_masks(masks: np.ndarray, extend_iter: int = 2
     return out[..., None].astype(np.uint8)
 
 
-def get_segmenter(kind: str = 'auto') -> Optional[Callable]:
+def make_bkgd_segmenter(bkgd: np.ndarray, thresh: float = 25.0,
+                        blur: int = 3, min_component: int = 64
+                        ) -> Callable:
+    """Background-subtraction person segmenter — needs NO model weights.
+
+    The datasets this tool targets ship (or median-extract) static
+    background plates (reference load_h36m.py:17-112, load_zju.py
+    per-pixel median, load_3dhp.py bkgd pngs), so |img - bkgd| plus
+    morphology yields a usable person mask in environments where no
+    pretrained segmenter can be downloaded. thresh is in 0-255 intensity
+    units; min_component drops specks (connected components smaller than
+    that many pixels) when cv2 is available.
+    """
+    bg = bkgd.astype(np.float32)
+
+    def segment(img: np.ndarray) -> np.ndarray:
+        diff = np.abs(img.astype(np.float32) - bg).max(-1)
+        try:
+            import cv2
+            if blur > 1:
+                diff = cv2.blur(diff, (blur, blur))
+            m = (diff > thresh).astype(np.uint8)
+            # close small holes, then drop small components
+            kernel = np.ones((5, 5), np.uint8)
+            m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, kernel)
+            n, labels, stats, _ = cv2.connectedComponentsWithStats(m)
+            keep = np.zeros_like(m)
+            for c in range(1, n):
+                if stats[c, cv2.CC_STAT_AREA] >= min_component:
+                    keep[labels == c] = 1
+            return keep.astype(np.float32)
+        except ImportError:
+            return (diff > thresh).astype(np.float32)
+
+    return segment
+
+
+def get_segmenter(kind: str = 'auto', bkgd: Optional[np.ndarray] = None,
+                  **kwargs) -> Optional[Callable]:
     """Return an image -> (H, W) float person-mask callable, or None.
 
+    'bkgd': background-subtraction (make_bkgd_segmenter) — the only kind
+    that works with zero downloads; requires a background plate.
     'torchvision': deeplabv3_resnet101 (requires torchvision; absent in
     minimal installs). The reference's TF1 frozen graph is not supported.
+    'auto': bkgd when a plate is given, else torchvision, else None.
     """
+    if kind in ('auto', 'bkgd') and bkgd is not None:
+        return make_bkgd_segmenter(bkgd, **kwargs)
+    if kind == 'bkgd':
+        raise ValueError("segmenter kind 'bkgd' requires a background "
+                         "plate (bkgd=...)")
     if kind in ('auto', 'torchvision'):
         try:
             import torch

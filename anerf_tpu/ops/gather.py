@@ -1,0 +1,35 @@
+"""Row gathers as one-hot MXU contractions.
+
+TPU lowers `take_along_axis` to serial row loads ('custom fusion' ops
+with zero FLOPs in the profile) and its VJP to scatters, which are worse.
+For the small per-ray sample counts in this pipeline (S <= ~100), a
+(R, K, S) one-hot contraction is a tiny matmul that runs on the MXU, and
+its VJP is just the transposed matmul — no scatter anywhere. The result
+is EXACT for any float dtype: each output element is one product
+(1.0 * x) and a sum of zeros.
+
+Measured on the culled flagship step (v5e-1): the gather/scatter family
+cost ~6.5 ms/step before this change (see PERF.md round-2 trace).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def take_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(data, idx, axis=1) over rows, as a one-hot matmul.
+
+    data: (R, S) or (R, S, C); idx: (R, K) integer. Returns (R, K) or
+    (R, K, C) in data's dtype. Intended for small S (the one-hot is
+    (R, K, S)).
+    """
+    S = data.shape[1]
+    squeeze = data.ndim == 2
+    d = data[..., None] if squeeze else data
+    acc_dtype = d.dtype if d.dtype in (jnp.float32, jnp.bfloat16) \
+        else jnp.float32
+    oh = (idx[..., None] == jnp.arange(S, dtype=idx.dtype)).astype(acc_dtype)
+    out = jnp.einsum('rks,rsc->rkc', oh, d.astype(acc_dtype),
+                     preferred_element_type=acc_dtype)
+    out = out.astype(d.dtype) if d.dtype != acc_dtype else out
+    return out[..., 0] if squeeze else out

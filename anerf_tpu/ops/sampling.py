@@ -70,10 +70,11 @@ def sample_pdf(key: Optional[jax.Array], bins: jnp.ndarray,
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
-    cdf_below = jnp.take_along_axis(cdf, below, -1)
-    cdf_above = jnp.take_along_axis(cdf, above, -1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), -1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), -1)
+    from .gather import take_rows
+    cdf_below = take_rows(cdf, below)
+    cdf_above = take_rows(cdf, above)
+    bins_below = take_rows(bins, jnp.minimum(below, bins.shape[-1] - 1))
+    bins_above = take_rows(bins, jnp.minimum(above, bins.shape[-1] - 1))
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -110,7 +111,8 @@ def isample_from_lineseg(key: Optional[jax.Array],
 
     z_cat = jnp.concatenate([z_vals, z_samples], -1)
     sort_idxs = jnp.argsort(z_cat, -1)
-    z_all = jnp.take_along_axis(z_cat, sort_idxs, -1)
+    from .gather import take_rows
+    z_all = take_rows(z_cat, sort_idxs)
     return z_all, z_samples, sort_idxs
 
 

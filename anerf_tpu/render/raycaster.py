@@ -24,6 +24,7 @@ from ..models.nerf import (NeRFConfig, apply_nerf, forward_density, _dense,
 from ..ops.compositing import get_density_fn, raw2outputs
 from ..ops.cylinder import get_near_far_in_cylinder
 from ..ops.embedder import EmbedConfig, embed
+from ..ops.gather import take_rows
 from ..ops.encoding import (make_bone_encoder, make_kp_encoder,
                             make_view_encoder, transform_batch_pts,
                             transform_batch_rays)
@@ -209,13 +210,13 @@ def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,
     span = z_vals[:, -1:] - z_vals[:, :1] + 1e-6
     key_order = jnp.where(in_window, 0.0, 1.0) * (span * 4.0) + z_vals
     order = jnp.argsort(key_order, axis=-1)[:, :cfg.n_keep]
-    z_k = jnp.take_along_axis(z_vals, order, -1)
+    z_k = take_rows(z_vals, order)
     # restore ascending z among the kept set (mixed groups break it)
     z_order = jnp.argsort(z_k, -1)
     sel = jnp.take_along_axis(order, z_order, -1)           # (R, n_keep)
-    z_kept = jnp.take_along_axis(z_k, z_order, -1)
-    pts_kept = jnp.take_along_axis(pts, sel[..., None], axis=1)
-    return z_kept, pts_kept
+    # one fused MXU gather for z + pts (see ops/gather.py)
+    kept = take_rows(jnp.concatenate([z_vals[..., None], pts], -1), sel)
+    return kept[..., 0], kept[..., 1:]
 
 
 def _sample_pts(key, rays_o, rays_d, z_vals, ray_noise_std):
@@ -309,7 +310,7 @@ def render_rays(params: Dict[str, Any],
             # single-net: only the new samples go through the MLP
             raw_is = run_network(cfg, fine_params, encoded_is, fc_fine)
             raw_all = jnp.concatenate([raw, raw_is], axis=1)
-        raw_fine = jnp.take_along_axis(raw_all, sort_idxs[..., None], axis=1)
+        raw_fine = take_rows(raw_all, sort_idxs)
         ret = raw2outputs(raw_fine, z_all, rays_d, cfg.raw_noise_std, keys[2],
                           cfg.density_scale, act_fn, cfg.rgb_eps)
 

@@ -129,3 +129,23 @@ def test_3dhp_dataset_splits(h5_path):
     s5 = ThreeDHPDataset(h5_path, N_samples=16, split='train', subject='S5')
     np.testing.assert_allclose(s5.c2ws[..., :3, -1] * 0.82,
                                full.c2ws[..., :3, -1], rtol=1e-6)
+
+
+def test_bkgd_segmenter_recovers_person_mask(tmp_path):
+    """Zero-download background-subtraction segmenter: on the synthetic
+    fixture (person blobs on a white plate) the recovered mask must
+    overlap the GT mask with high IoU."""
+    from anerf_tpu.data.fixtures import make_synthetic_h5
+    from anerf_tpu.data.process_mask import get_segmenter, process_masks
+
+    data = make_synthetic_h5(str(tmp_path / 's.h5'), n_kps=2, n_cams=1,
+                             H=48, W=48)
+    bkgd = data['bkgds'][0]
+    seg = get_segmenter('bkgd', bkgd=bkgd, min_component=8)
+    masks, sampling = process_masks(data['imgs'], seg)
+    assert masks.shape == data['masks'].shape
+    inter = (masks & data['masks']).sum()
+    union = (masks | data['masks']).sum()
+    assert inter / union > 0.5, f'IoU {inter / union:.2f}'
+    # sampling masks are dilated supersets
+    assert (sampling >= masks).all()
