@@ -170,7 +170,11 @@ class TrainConfig:
     compute_dtype: str = 'bfloat16'    # MLP matmul dtype
     fast_grads: bool = False           # bf16 cotangents/PE: +18% step speed,
                                        # ~2 dB background-PSNR cost (PERF.md)
-    use_pallas: bool = True            # fused render kernel where available
+    # opt-in fused Pallas render kernel (transform+PE+MLP, custom-VJP
+    # backward; kernels/fused_render.py). Requires the standard encoder
+    # family + bfloat16; numerics are fast_grads-class (quality A/B in
+    # PERF.md). build_render_config raises if requested but unsupported.
+    fused_kernel: bool = False
     scan_unroll: int = 8               # train steps fused per device dispatch
     seed: int = 0
     # opt-in occupancy culling: keep ratio*N_samples samples per ray (the

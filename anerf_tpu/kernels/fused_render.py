@@ -218,43 +218,52 @@ def _names(ncfg: NeRFConfig):
     return names
 
 
-def _render_kernel(ncfg: NeRFConfig, x_ref, tau_ref, *refs):
+def _read_weights(ncfg: NeRFConfig, refs):
     names = _names(ncfg)
     w = {}
-    for name, ref in zip(names, refs[:-1]):
+    for name, ref in zip(names, refs):
         arr = ref[:]
         if name.startswith('b') and name != 'b_out':
             arr = arr.reshape(-1)
         w[name] = arr
-    out_ref = refs[-1]
+    return w
+
+
+def _forward_trace(ncfg: NeRFConfig, w, v, r, d, fc, tau):
+    """Cutoff-PE + full MLP on segment-aligned inputs, all in VMEM.
+
+    v/r/d/fc are (T, SEG) f32 with 24/72/72/fc_ch valid lanes (pad lanes
+    may hold garbage — their weight rows are zero). Returns (out, cache);
+    the cache holds every intermediate the backward kernel needs (Mosaic
+    dead-code-eliminates unused entries in the forward-only kernels).
+    """
     f32 = jnp.float32
     bf = jnp.bfloat16
-
-    x = x_ref[:]
-    v = x[:, 0:SEG]          # dists in lanes 0:24
-    r = x[:, SEG:2 * SEG]    # bone dirs in lanes 0:72
-    d = x[:, 2 * SEG:3 * SEG]
-    fc = x[:, 3 * SEG:4 * SEG]
-
-    tau = tau_ref[0, 0]
+    c: Dict[str, Any] = {}
     # window on the padded segment; pad lanes produce garbage but their
     # weight rows are zero, so they never reach the MLP
     w24 = 1.0 - jax.nn.sigmoid(tau * (v - w['cut'].reshape(-1)))
 
     ang_v = jnp.dot(v, w['F_v'], preferred_element_type=f32)
     wrep_v = jnp.dot(w24, w['R_v'], preferred_element_type=f32)
-    sv = (jnp.sin(ang_v) * wrep_v).astype(bf)
-    cv = (jnp.cos(ang_v) * wrep_v).astype(bf)
+    sin_v, cos_v = jnp.sin(ang_v), jnp.cos(ang_v)
+    sv = (sin_v * wrep_v).astype(bf)
+    cv = (cos_v * wrep_v).astype(bf)
     vraw = (v * w24).astype(bf)
 
     ang_d = jnp.dot(d, w['F_d'], preferred_element_type=f32)
     wrep_d = jnp.dot(w24, w['R_d'], preferred_element_type=f32)
-    sd = (jnp.sin(ang_d) * wrep_d).astype(bf)
-    cd = (jnp.cos(ang_d) * wrep_d).astype(bf)
+    sin_d, cos_d = jnp.sin(ang_d), jnp.cos(ang_d)
+    sd = (sin_d * wrep_d).astype(bf)
+    cd = (cos_d * wrep_d).astype(bf)
     w72 = jnp.dot(w24, w['R72'], preferred_element_type=f32)
     draw = (d * w72).astype(bf)
     rb = r.astype(bf)
     fcb = fc.astype(bf)
+    c.update(w24=w24, wrep_v=wrep_v, sin_v=sin_v, cos_v=cos_v,
+             wrep_d=wrep_d, sin_d=sin_d, cos_d=cos_d, w72=w72,
+             sv=sv, cv=cv, vraw=vraw, sd=sd, cd=cd, draw=draw,
+             rb=rb, fcb=fcb)
 
     def kp_matmul(prefix, hb=None, wh=None):
         acc = jnp.dot(vraw, w[f'{prefix}_raw'], preferred_element_type=f32)
@@ -265,9 +274,11 @@ def _render_kernel(ncfg: NeRFConfig, x_ref, tau_ref, *refs):
             acc += jnp.dot(hb, wh, preferred_element_type=f32)
         return acc
 
+    hbs = []
     h = jnp.maximum(kp_matmul('w0') + w['b0'], 0.0)
     for i in range(1, ncfg.depth):
         hb = h.astype(bf)
+        hbs.append(hb)
         if (i - 1) in ncfg.skips:
             acc = kp_matmul(f'w{i}x', hb, w[f'w{i}h'])
         else:
@@ -275,17 +286,97 @@ def _render_kernel(ncfg: NeRFConfig, x_ref, tau_ref, *refs):
         h = jnp.maximum(acc + w[f'b{i}'], 0.0)
 
     hb = h.astype(bf)
+    hbs.append(hb)
     feat = jnp.dot(hb, w['wf'], preferred_element_type=f32) + w['bf']
-    hv = jnp.dot(feat.astype(bf), w['wv_f'], preferred_element_type=f32)
+    featb = feat.astype(bf)
+    hv = jnp.dot(featb, w['wv_f'], preferred_element_type=f32)
     hv += jnp.dot(draw, w['wv_raw'], preferred_element_type=f32)
     hv += jnp.dot(sd, w['wv_sin'], preferred_element_type=f32)
     hv += jnp.dot(cd, w['wv_cos'], preferred_element_type=f32)
     hv += jnp.dot(fcb, w['wv_fc'], preferred_element_type=f32)
     hv = jnp.maximum(hv + w['bv'], 0.0)
+    hvb = hv.astype(bf)
+    c.update(hbs=hbs, featb=featb, hvb=hvb)
 
-    out = jnp.dot(hv.astype(bf), w['w_rgb'], preferred_element_type=f32)
+    out = jnp.dot(hvb, w['w_rgb'], preferred_element_type=f32)
     out += jnp.dot(hb, w['w_alpha'], preferred_element_type=f32)
-    out_ref[:] = out + w['b_out'].reshape(1, -1)
+    return out + w['b_out'].reshape(1, -1), c
+
+
+def _pe_mlp_body(ncfg: NeRFConfig, w, v, r, d, fc, tau):
+    return _forward_trace(ncfg, w, v, r, d, fc, tau)[0]
+
+
+def _render_kernel(ncfg: NeRFConfig, x_ref, tau_ref, *refs):
+    w = _read_weights(ncfg, refs[:-1])
+    out_ref = refs[-1]
+    x = x_ref[:]
+    v = x[:, 0:SEG]          # dists in lanes 0:24
+    r = x[:, SEG:2 * SEG]    # bone dirs in lanes 0:72
+    d = x[:, 2 * SEG:3 * SEG]
+    fc = x[:, 3 * SEG:4 * SEG]
+    out_ref[:] = _pe_mlp_body(ncfg, w, v, r, d, fc, tau_ref[0, 0])
+
+
+def _transform_tile(S: int, TR: int, pts_ref, m_ref, aux_ref):
+    """World->local transform for one tile of TR rays x S samples.
+
+    Per-ray quantities are expanded to the T = TR*S point rows with small
+    one-hot MXU matmuls built from iota comparisons (no gathers, no lane
+    relayouts). Returns a cache with the encoder inputs (v, r, d, fc) and
+    every intermediate the backward needs.
+    """
+    f32 = jnp.float32
+    T = TR * S
+
+    x3 = pts_ref[:]                                   # (T, 3)
+    # row -> ray id (row // S), as one-hot (T, TR) for per-ray expansion
+    row_ray = jax.lax.broadcasted_iota(jnp.int32, (T, TR), 0) // S
+    col_ray = jax.lax.broadcasted_iota(jnp.int32, (T, TR), 1)
+    B = (row_ray == col_ray).astype(f32)              # (T, TR)
+
+    # xp3[row, 3*ray + i] = pts[row, i]: tile then mask
+    T3 = (jax.lax.broadcasted_iota(jnp.int32, (3, TR * 3), 1) % 3
+          == jax.lax.broadcasted_iota(jnp.int32, (3, TR * 3), 0)
+          ).astype(f32)
+    rep = jnp.dot(x3, T3, preferred_element_type=f32)  # (T, TR*3)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (T, TR * 3), 0) // S
+    cc = jax.lax.broadcasted_iota(jnp.int32, (T, TR * 3), 1) // 3
+    mask = (rr == cc).astype(f32)
+    xp3 = rep * mask
+
+    M = m_ref[:]                                      # (TR*3, SEG)
+    aux = jnp.dot(B, aux_ref[:], preferred_element_type=f32)  # (T, 3*SEG)
+    trans = aux[:, 0:SEG]
+    d = aux[:, SEG:2 * SEG]
+    fc = aux[:, 2 * SEG:3 * SEG]
+
+    # local coords, distances, unit dirs (ops/encoding.py flat layout)
+    pts_t = jnp.dot(xp3, M, preferred_element_type=f32) + trans
+    G = ((jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 0) // 3
+          == jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 1))
+         & (jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 0) < 72)
+         ).astype(f32)                                 # (c, c//3) for c<72
+    v2s = jnp.dot(pts_t * pts_t, G, preferred_element_type=f32)
+    # floor keeps sqrt autodiff-safe on the all-zero pad lanes (the pure
+    # jnp replica of this tile math is jax.grad'd in tests)
+    v = jnp.sqrt(jnp.maximum(v2s, 1e-24))              # lanes 0:24
+    vinv = 1.0 / jnp.maximum(v, 1e-12)
+    vexp = jnp.dot(vinv, G.T, preferred_element_type=f32)
+    r_dirs = pts_t * vexp
+    return dict(B=B, T3=T3, mask=mask, xp3=xp3, M=M, G=G,
+                pts_t=pts_t, v=v, vinv=vinv, vexp=vexp,
+                r=r_dirs, d=d, fc=fc)
+
+
+def _render_kernel_pts(ncfg: NeRFConfig, S: int, TR: int,
+                       pts_ref, m_ref, aux_ref, tau_ref, *refs):
+    """v3 forward: world->local transform + PE + MLP in one kernel."""
+    w = _read_weights(ncfg, refs[:-1])
+    out_ref = refs[-1]
+    t = _transform_tile(S, TR, pts_ref, m_ref, aux_ref)
+    out_ref[:] = _pe_mlp_body(ncfg, w, t['v'], t['r'], t['d'], t['fc'],
+                              tau_ref[0, 0])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -327,6 +418,371 @@ def fused_encode_mlp(ncfg: NeRFConfig, packed: Dict[str, Any],
         interpret=interpret,
     )(x, tau_arr, *weight_args)
     return out[:P, :4]
+
+
+def _pick_tr(S: int, max_t: int = 1024) -> int:
+    """Rays per tile: the largest multiple of 8 with TR*S <= max_t
+    (min 8 — the per-ray blocks m_all (TR*3, SEG) and aux (TR, 3*SEG)
+    need sublane-divisible row counts). The backward kernel uses a
+    smaller max_t — its VMEM working set holds the recomputed
+    activations plus the weight-grad accumulators."""
+    return max(8, (max_t // S) // 8 * 8)
+
+
+def pack_ray_data(rays_d: jnp.ndarray, skts: jnp.ndarray,
+                  framecodes: jnp.ndarray | None):
+    """Per-ray kernel operands for the pts-native (v3) kernel.
+
+    rays_d (R, 1, 3), skts (R, J, 4, 4), framecodes (R, fc) ->
+      m_all (R*3, SEG) f32: rotation columns (ops/encoding.py
+        transform_batch_pts_flat layout), rows grouped per ray;
+      aux (R, 3*SEG) f32: [trans(72) | unit view dirs(72) | fc(16)],
+        each in its own 128-lane segment.
+    """
+    from ..ops.encoding import _expand3, _group3_sumsq
+    R, J = skts.shape[0], skts.shape[1]
+    rot_cols = skts[..., :3, :3].transpose(0, 3, 1, 2).reshape(R, 3, J * 3)
+    trans = skts[..., :3, 3].reshape(R, J * 3)
+
+    rays_flat = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols)[:, 0]  # (R, 72)
+    dss = _group3_sumsq(rays_flat, J)
+    dinv = _expand3(jax.lax.rsqrt(jnp.maximum(dss, 1e-24)), J)
+    d = rays_flat * dinv
+
+    m_all = jnp.pad(rot_cols, ((0, 0), (0, 0), (0, SEG - J * 3))
+                    ).reshape(R * 3, SEG).astype(jnp.float32)
+    if framecodes is None:
+        framecodes = jnp.zeros((R, 16), jnp.float32)
+    seg = lambda a: jnp.pad(a, ((0, 0), (0, SEG - a.shape[-1])))
+    aux = jnp.concatenate([seg(trans), seg(d), seg(framecodes)],
+                          -1).astype(jnp.float32)
+    return m_all, aux
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def fused_encode_mlp_pts(ncfg: NeRFConfig, packed: Dict[str, Any],
+                         pts: jnp.ndarray, m_all: jnp.ndarray,
+                         aux: jnp.ndarray, S: int,
+                         tau: jnp.ndarray = 2000.0) -> jnp.ndarray:
+    """World points -> raw (R, S, 4), transform+PE+MLP all on-chip.
+
+    pts (R, S, 3) f32; m_all/aux from pack_ray_data. The only HBM-side
+    per-point tensor is pts itself (vs the (P, 512) packed input of
+    fused_encode_mlp) — the raw-input assembly that cost ~2 ms at the
+    flagship shape disappears into ~5 small in-kernel matmuls.
+    """
+    R = pts.shape[0]
+    TR = _pick_tr(S)
+    R_pad = _rup(R, TR)
+    pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))).reshape(
+        R_pad * S, 3)
+    m_p = jnp.pad(m_all, ((0, (R_pad - R) * 3), (0, 0)))
+    aux_p = jnp.pad(aux, ((0, R_pad - R), (0, 0)))
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1, 1)
+
+    names = _names(ncfg)
+    weight_args = [packed[n] if packed[n].ndim == 2 else
+                   packed[n].reshape(1, -1) for n in names]
+
+    T = TR * S
+    grid = (R_pad // TR,)
+    in_specs = [
+        pl.BlockSpec((T, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR * 3, SEG), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, 3 * SEG), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    for arg in weight_args:
+        in_specs.append(pl.BlockSpec(arg.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_render_kernel_pts, ncfg, S, TR)
+    interpret = jax.default_backend() != 'tpu'
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad * S, LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pts_p, m_p, aux_p, tau_arr, *weight_args)
+    return out.reshape(R_pad, S, LANE)[:R, :, :4]
+
+
+CONST_NAMES = ('F_v', 'R_v', 'F_d', 'R_d', 'R72', 'cut')
+
+# Wide cotangent matmuls in the backward kernel run in bf16 (the
+# --fast_grads numerics; VMEM-resident, so this is about MXU rate, not
+# traffic). Set False for f32 cotangents (debug / parity studies).
+BWD_BF16_COTANGENTS = True
+
+
+def _trainable_names(ncfg: NeRFConfig):
+    return [n for n in _names(ncfg) if n not in CONST_NAMES]
+
+
+def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
+                           pts_ref, m_ref, aux_ref, tau_ref, g_ref, *refs):
+    """Fused backward: recompute the forward per tile (flash-style), then
+    backprop through MLP, cutoff-PE, and the world->local transform in
+    VMEM. Input grads (dpts/dm/daux) are per-tile block writes; weight
+    grads accumulate across the sequential TPU grid into constant-index
+    output blocks. Wide cotangent matmuls run in bf16 with f32
+    accumulation (the --fast_grads numerics); the transform backward —
+    the pose-refinement path — stays f32.
+    """
+    names = _names(ncfg)
+    w = _read_weights(ncfg, refs[:len(names)])
+    out_refs = refs[len(names):]
+    f32, bf = jnp.float32, jnp.bfloat16
+    tau = tau_ref[0, 0]
+    T = TR * S
+
+    t = _transform_tile(S, TR, pts_ref, m_ref, aux_ref)
+    _, c = _forward_trace(ncfg, w, t['v'], t['r'], t['d'], t['fc'], tau)
+
+    cot = bf if BWD_BF16_COTANGENTS else f32
+
+    def mmT(a, b):   # (T, N) x (K, N) -> (T, K), bf16 operands
+        return jax.lax.dot_general(a.astype(cot), b.astype(cot),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def mmO(x, dy):  # (T, K) x (T, N) -> (K, N), bf16 operands
+        return jax.lax.dot_general(x.astype(cot), dy.astype(cot),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dgf(a, b, dims):  # f32 dot_general (transform path)
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=f32)
+
+    def relu_mask(x):  # Mosaic rejects bf16 comparisons: compare in f32
+        return x.astype(f32) > 0.0
+
+    dW = {}
+    g = g_ref[:]                                   # (T, LANE), lanes 0:4
+    hbs = c['hbs']
+    hb_last = hbs[-1]
+
+    # output heads
+    dW['w_rgb'] = mmO(c['hvb'], g)
+    dW['w_alpha'] = mmO(hb_last, g)
+    dW['b_out'] = jnp.sum(g, 0, keepdims=True)
+    dhv = mmT(g, w['w_rgb']) * relu_mask(c['hvb'])
+    dW['bv'] = jnp.sum(dhv, 0, keepdims=True)
+
+    # view layer
+    dW['wv_f'] = mmO(c['featb'], dhv)
+    dfeat = mmT(dhv, w['wv_f'])
+    dW['wv_raw'] = mmO(c['draw'], dhv)
+    ddraw = mmT(dhv, w['wv_raw'])
+    dW['wv_sin'] = mmO(c['sd'], dhv)
+    dsd = mmT(dhv, w['wv_sin'])
+    dW['wv_cos'] = mmO(c['cd'], dhv)
+    dcd = mmT(dhv, w['wv_cos'])
+    dW['wv_fc'] = mmO(c['fcb'], dhv)
+    dfc = mmT(dhv, w['wv_fc'])
+
+    # feature layer + trunk
+    dW['bf'] = jnp.sum(dfeat, 0, keepdims=True)
+    dW['wf'] = mmO(hb_last, dfeat)
+    dh = (mmT(dfeat, w['wf']) + mmT(g, w['w_alpha'])) * relu_mask(hb_last)
+
+    NKv = w['w0_sin'].shape[0]
+    dvraw = jnp.zeros((T, SEG), f32)
+    dsv = jnp.zeros((T, NKv), f32)
+    dcv = jnp.zeros((T, NKv), f32)
+    drb = jnp.zeros((T, SEG), f32)
+
+    for i in range(ncfg.depth - 1, 0, -1):
+        dW[f'b{i}'] = jnp.sum(dh, 0, keepdims=True)
+        hb_prev = hbs[i - 1]
+        if (i - 1) in ncfg.skips:
+            dW[f'w{i}x_raw'] = mmO(c['vraw'], dh)
+            dW[f'w{i}x_sin'] = mmO(c['sv'], dh)
+            dW[f'w{i}x_cos'] = mmO(c['cv'], dh)
+            dW[f'w{i}x_bone'] = mmO(c['rb'], dh)
+            dW[f'w{i}h'] = mmO(hb_prev, dh)
+            dvraw += mmT(dh, w[f'w{i}x_raw'])
+            dsv += mmT(dh, w[f'w{i}x_sin'])
+            dcv += mmT(dh, w[f'w{i}x_cos'])
+            drb += mmT(dh, w[f'w{i}x_bone'])
+            dh = mmT(dh, w[f'w{i}h']) * relu_mask(hb_prev)
+        else:
+            dW[f'w{i}'] = mmO(hb_prev, dh)
+            dh = mmT(dh, w[f'w{i}']) * relu_mask(hb_prev)
+
+    dW['b0'] = jnp.sum(dh, 0, keepdims=True)
+    dW['w0_raw'] = mmO(c['vraw'], dh)
+    dW['w0_sin'] = mmO(c['sv'], dh)
+    dW['w0_cos'] = mmO(c['cv'], dh)
+    dW['w0_bone'] = mmO(c['rb'], dh)
+    dvraw += mmT(dh, w['w0_raw'])
+    dsv += mmT(dh, w['w0_sin'])
+    dcv += mmT(dh, w['w0_cos'])
+    drb += mmT(dh, w['w0_bone'])
+
+    # cutoff-PE backward (bf16 band cotangents, f32 reductions)
+    dang_v = (dsv * c['cos_v'] - dcv * c['sin_v']) * c['wrep_v']
+    dwrep_v = dsv * c['sin_v'] + dcv * c['cos_v']
+    dang_d = (dsd * c['cos_d'] - dcd * c['sin_d']) * c['wrep_d']
+    dwrep_d = dsd * c['sin_d'] + dcd * c['cos_d']
+    dv = mmT(dang_v, w['F_v'])
+    dw24 = mmT(dwrep_v, w['R_v'])
+    dd = mmT(dang_d, w['F_d'])
+    dw24 += mmT(dwrep_d, w['R_d'])
+    dd += ddraw * c['w72']
+    dw24 += mmT(ddraw * t['d'], w['R72'])
+    dv += dvraw * c['w24']
+    dw24 += dvraw * t['v']
+    # w24 = 1 - sigmoid(tau*(v - cut))
+    sig = 1.0 - c['w24']
+    dv += tau * dw24 * (-sig * c['w24'])
+
+    # transform backward (f32: this is the pose-refinement grad path)
+    G = t['G']
+    dpts_t = drb * t['vexp']
+    dvexp = drb * t['pts_t']
+    dvinv = dgf(dvexp, G, ((1,), (0,)))            # vexp = vinv @ G.T
+    dv += -dvinv * t['vinv'] * t['vinv'] * (t['v'] > 1e-12)
+    dv2s = dv * 0.5 * t['vinv']                    # v = sqrt(v2s)
+    dsq = dgf(dv2s, G, ((1,), (1,)))               # v2s = sq @ G -> @ G.T
+    dpts_t += dsq * 2.0 * t['pts_t']
+
+    dxp3 = dgf(dpts_t, t['M'], ((1,), (1,)))       # (T, TR*3)
+    dM = dgf(t['xp3'], dpts_t, ((0,), (0,)))       # (TR*3, SEG)
+    dx3 = dgf(dxp3 * t['mask'], t['T3'], ((1,), (1,)))   # (T, 3)
+    daux_t = jnp.concatenate([dpts_t, dd, dfc], axis=-1)
+    daux = dgf(t['B'], daux_t, ((0,), (0,)))       # (TR, 3*SEG)
+
+    dpts_ref, dm_ref, daux_ref = out_refs[0], out_refs[1], out_refs[2]
+    dpts_ref[:] = dx3
+    dm_ref[:] = dM
+    daux_ref[:] = daux
+
+    first = pl.program_id(0) == 0
+    for name, ref in zip(_trainable_names(ncfg), out_refs[3:]):
+        val = dW[name]
+
+        @pl.when(first)
+        def _init(ref=ref, val=val):
+            ref[...] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _acc(ref=ref, val=val):
+            ref[...] += val
+
+
+def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
+                    pts: jnp.ndarray, m_all: jnp.ndarray, aux: jnp.ndarray,
+                    S: int, tau, g: jnp.ndarray):
+    """Run the backward kernel; returns (dW dict over trainable names,
+    dpts, dm_all, daux)."""
+    R = pts.shape[0]
+    TR = _pick_tr(S, max_t=512)
+    R_pad = _rup(R, TR)
+    pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))).reshape(
+        R_pad * S, 3)
+    m_p = jnp.pad(m_all, ((0, (R_pad - R) * 3), (0, 0)))
+    aux_p = jnp.pad(aux, ((0, R_pad - R), (0, 0)))
+    g_p = jnp.pad(g.astype(jnp.float32),
+                  ((0, R_pad - R), (0, 0), (0, LANE - g.shape[-1]))
+                  ).reshape(R_pad * S, LANE)
+    tau_arr = jnp.asarray(tau, jnp.float32).reshape(1, 1)
+
+    names = _names(ncfg)
+    weight_args = [packed[n] if packed[n].ndim == 2 else
+                   packed[n].reshape(1, -1) for n in names]
+    arg2d = dict(zip(names, weight_args))
+    trainable = _trainable_names(ncfg)
+
+    T = TR * S
+    grid = (R_pad // TR,)
+    in_specs = [
+        pl.BlockSpec((T, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR * 3, SEG), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, 3 * SEG), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((T, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for arg in weight_args:
+        in_specs.append(pl.BlockSpec(arg.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((R_pad * S, 3), jnp.float32),
+        jax.ShapeDtypeStruct((R_pad * 3, SEG), jnp.float32),
+        jax.ShapeDtypeStruct((R_pad, 3 * SEG), jnp.float32),
+    ] + [jax.ShapeDtypeStruct(arg2d[n].shape, jnp.float32)
+         for n in trainable]
+    out_specs = [
+        pl.BlockSpec((T, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR * 3, SEG), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, 3 * SEG), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(arg2d[n].shape, lambda i: (0, 0),
+                      memory_space=pltpu.VMEM) for n in trainable]
+
+    kernel = functools.partial(_render_kernel_pts_bwd, ncfg, S, TR)
+    interpret = jax.default_backend() != 'tpu'
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pts_p, m_p, aux_p, tau_arr, g_p, *weight_args)
+
+    dpts = outs[0].reshape(R_pad, S, 3)[:R]
+    dm = outs[1][:R * 3]
+    daux = outs[2][:R]
+    dWs = {}
+    for n, o in zip(trainable, outs[3:]):
+        dWs[n] = o.reshape(packed[n].shape) if packed[n].ndim == 1 else o
+    return dWs, dpts, dm, daux
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_apply(ncfg: NeRFConfig, S: int, packed: Dict[str, Any],
+                pts: jnp.ndarray, m_all: jnp.ndarray, aux: jnp.ndarray,
+                tau) -> jnp.ndarray:
+    """Differentiable fused transform+PE+MLP: (R, S, 3) world pts ->
+    (R, S, 4) raw. Grads flow to the packed weights (autodiffed back
+    through pack_render_params by XLA), to pts, and to m_all/aux (the
+    pose-refinement path through pack_ray_data). cutoff_dist ('cut') and
+    tau receive zero grads — cutoff_dist is never trained
+    (train/trainer.py) and tau is a schedule."""
+    return fused_encode_mlp_pts(ncfg, packed, pts, m_all, aux, S, tau)
+
+
+def _fused_apply_fwd(ncfg, S, packed, pts, m_all, aux, tau):
+    out = fused_encode_mlp_pts(ncfg, packed, pts, m_all, aux, S, tau)
+    return out, (packed, pts, m_all, aux, tau)
+
+
+def _fused_apply_bwd(ncfg, S, res, g):
+    packed, pts, m_all, aux, tau = res
+    dWs, dpts, dm, daux = _fused_bwd_impl(ncfg, packed, pts, m_all, aux,
+                                          S, tau, g)
+    d_packed = {n: jnp.zeros_like(packed[n]) for n in CONST_NAMES}
+    d_packed.update({n: v.astype(packed[n].dtype) for n, v in dWs.items()})
+    dtau = jnp.zeros_like(jnp.asarray(tau, jnp.float32))
+    return d_packed, dpts, dm, daux, dtau
+
+
+fused_apply.defvjp(_fused_apply_fwd, _fused_apply_bwd)
 
 
 def build_raw_inputs(pts: jnp.ndarray, rays_d: jnp.ndarray,

@@ -82,7 +82,7 @@ def build_render_config(args: TrainConfig, data_attrs: Dict[str, Any]
         n_framecodes=int(n_framecodes),
         density_scale=args.density_scale)
 
-    return RenderConfig(
+    cfg = RenderConfig(
         nerf=nerf_cfg, embed_kp=embed_kp, embed_bone=embed_bone,
         embed_view=embed_view, skel=skel,
         kp_dist_type=args.kp_dist_type, bone_type=args.bone_type,
@@ -94,7 +94,19 @@ def build_render_config(args: TrainConfig, data_attrs: Dict[str, Any]
         density_type=args.density_type, softplus_shift=args.softplus_shift,
         density_scale=args.density_scale,
         compute_dtype=args.compute_dtype, fast_grads=args.fast_grads,
-        n_keep=_n_keep(args, skel), cull_margin=args.cull_margin)
+        n_keep=_n_keep(args, skel), cull_margin=args.cull_margin,
+        use_fused=args.fused_kernel)
+    if cfg.use_fused:
+        from ..kernels.fused_render import fused_render_supported
+        if not fused_render_supported(cfg):
+            raise NotImplementedError(
+                '--fused_kernel requires the standard encoder family '
+                '(reldist/reldir/relray, cutoff_inputs, no freq_schedule; '
+                'see kernels/fused_render.py:fused_render_supported)')
+        if cfg.dtype is None:
+            raise NotImplementedError(
+                '--fused_kernel requires --compute_dtype bfloat16')
+    return cfg
 
 
 def _n_keep(args: TrainConfig, skel: Skeleton) -> int:

@@ -72,6 +72,11 @@ class RenderConfig:
     # still render/train.
     n_keep: int = 0
     cull_margin: float = 0.1
+    # opt-in fused Pallas path (--fused_kernel): world->local transform +
+    # cutoff-PE + MLP in one VMEM-resident kernel with a custom-VJP
+    # backward (kernels/fused_render.py). Requires the standard encoder
+    # family (fused_render_supported) and bfloat16 compute.
+    use_fused: bool = False
 
     @property
     def dtype(self):
@@ -272,9 +277,25 @@ def render_rays(params: Dict[str, Any],
         framecodes = lookup_framecodes(params['coarse'], cam_idxs,
                                        eval_mean=eval_framecode_mean)
 
-    encoded = encode_inputs(cfg, pts, rays_d[:, None, :], kp_batch, skts,
-                            bones, cutoff_dist, tau, alpha_sched)
-    raw = run_network(cfg, params['coarse'], encoded, framecodes)
+    if cfg.use_fused:
+        # fused Pallas path: transform+PE+MLP in one kernel (custom VJP)
+        from ..kernels.fused_render import (fused_apply, pack_ray_data,
+                                            pack_render_params)
+        nf_kp = cfg.embed_kp.num_freqs
+        nf_view = cfg.embed_view.num_freqs
+        packed = pack_render_params(params['coarse'], cfg.nerf, nf_kp,
+                                    nf_view, cutoff_dist)
+        m_all, aux = pack_ray_data(rays_d[:, None, :], skts, framecodes)
+        net = lambda p, S: fused_apply(cfg.nerf, S, packed, p, m_all,
+                                       aux, tau)
+    else:
+        encoded = encode_inputs(cfg, pts, rays_d[:, None, :], kp_batch,
+                                skts, bones, cutoff_dist, tau, alpha_sched)
+
+    if cfg.use_fused:
+        raw = net(pts, pts.shape[1])
+    else:
+        raw = run_network(cfg, params['coarse'], encoded, framecodes)
     ret = raw2outputs(raw, z_vals, rays_d, cfg.raw_noise_std, keys[2],
                       cfg.density_scale, act_fn, cfg.rgb_eps)
 
@@ -293,20 +314,35 @@ def render_rays(params: Dict[str, Any],
             fc_fine = lookup_framecodes(params['fine'], cam_idxs,
                                         eval_mean=eval_framecode_mean)
 
-        encoded_is = encode_inputs(cfg, pts_is, rays_d[:, None, :], kp_batch,
-                                   skts, bones, cutoff_dist, tau, alpha_sched)
         # The MLP is pointwise, so sample ORDER is irrelevant until
         # compositing: run it on the unsorted [coarse ++ new] concat and sort
         # only the (R, S+I, 4) raw outputs. (The reference instead sorts the
         # full merged encodings before the MLP, raycasters.py:456-469 — a
         # >100x-larger gather that lowers catastrophically on TPU.)
-        if not cfg.single_net:
+        if cfg.use_fused:
+            if not cfg.single_net:
+                packed_f = pack_render_params(fine_params, cfg.nerf, nf_kp,
+                                              nf_view, cutoff_dist)
+                _, aux_f = pack_ray_data(rays_d[:, None, :], skts, fc_fine)
+                pts_cat = jnp.concatenate([pts, pts_is], axis=1)
+                raw_all = fused_apply(cfg.nerf, pts_cat.shape[1], packed_f,
+                                      pts_cat, m_all, aux_f, tau)
+            else:
+                raw_is = net(pts_is, pts_is.shape[1])
+                raw_all = jnp.concatenate([raw, raw_is], axis=1)
+        elif not cfg.single_net:
+            encoded_is = encode_inputs(cfg, pts_is, rays_d[:, None, :],
+                                       kp_batch, skts, bones, cutoff_dist,
+                                       tau, alpha_sched)
             cat_enc = {
                 k: jnp.concatenate([encoded[k], encoded_is[k]], axis=1)
                 if encoded[k] is not None else None
                 for k in encoded}
             raw_all = run_network(cfg, fine_params, cat_enc, fc_fine)
         else:
+            encoded_is = encode_inputs(cfg, pts_is, rays_d[:, None, :],
+                                       kp_batch, skts, bones, cutoff_dist,
+                                       tau, alpha_sched)
             # single-net: only the new samples go through the MLP
             raw_is = run_network(cfg, fine_params, encoded_is, fc_fine)
             raw_all = jnp.concatenate([raw, raw_is], axis=1)

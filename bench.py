@@ -31,7 +31,7 @@ import jax.numpy as jnp
 REFERENCE_TRAIN_RAYS_PER_SEC = 120_000.0
 
 
-def build(fast_grads=False, cull_ratio=0.0):
+def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False):
     from __graft_entry__ import _batch, _flagship
     from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
                                          pose_anchor_tree)
@@ -46,10 +46,11 @@ def build(fast_grads=False, cull_ratio=0.0):
     unroll = 10      # train steps fused per dispatch (amortizes host latency)
     args, cfg, params, pose = _flagship(n_frames=256, n_rays=n_rays,
                                         n_images=n_images)
-    if fast_grads or cull_ratio:
+    if fast_grads or cull_ratio or fused_kernel:
         import dataclasses
         args = dataclasses.replace(args, fast_grads=fast_grads,
-                                   cull_ratio=cull_ratio)
+                                   cull_ratio=cull_ratio,
+                                   fused_kernel=fused_kernel)
         from anerf_tpu.render.factory import build_render_config
         from anerf_tpu.skeleton import SMPLSkeleton
         cfg = build_render_config(args, {

@@ -30,6 +30,122 @@ def test_supported_check(rng):
     assert not fused_render_supported(bad)
 
 
+class _FakeRef:
+    """Array-as-ref shim: lets the kernel tile functions run as plain jnp
+    (the pure-jnp oracle that tests autodiff against the hand-written
+    backward kernel)."""
+
+    def __init__(self, arr):
+        self.arr = jnp.asarray(arr)
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+
+def _fused_setup(rng, n_rays=16, S=6):
+    from anerf_tpu.kernels.fused_render import (pack_ray_data,
+                                                pack_render_params)
+    args, cfg, params, pose = flagship_tiny(rng)
+    batch = synthetic_batch(rng, pose, n_rays=n_rays, n_images=4)
+    pr = lambda k: batch[k][batch['pose_idx']]
+    rays = batch['rays']
+    rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+    z = jnp.linspace(1.0, 3.0, S)
+    pts = rays_o[:, None] + rays_d[:, None] * z[None, :, None]
+    fc = lookup_framecodes(params['coarse'], batch['cam_idxs'])
+    packed = pack_render_params(params['coarse'], cfg.nerf,
+                                cfg.embed_kp.num_freqs,
+                                cfg.embed_view.num_freqs,
+                                params['cutoff_dist'])
+    m_all, aux = pack_ray_data(rays_d[:, None], pr('skts'), fc)
+    return cfg, params, batch, pts, rays_d, packed, m_all, aux, pr
+
+
+def test_fused_pts_kernel_matches_xla(rng):
+    """v3 (pts-native) kernel forward vs the XLA encode+MLP path."""
+    from anerf_tpu.kernels.fused_render import fused_encode_mlp_pts
+    cfg, params, batch, pts, rays_d, packed, m_all, aux, pr = _fused_setup(
+        rng)
+    tau = jnp.float32(35.0)
+    S = pts.shape[1]
+    enc = encode_inputs(cfg, pts, rays_d[:, None], pr('kp3d'), pr('skts'),
+                        pr('bones'), params['cutoff_dist'], tau, None)
+    fc = lookup_framecodes(params['coarse'], batch['cam_idxs'])
+    want = run_network(cfg, params['coarse'], enc, fc)
+    got = fused_encode_mlp_pts(cfg.nerf, packed, pts, m_all, aux, S, tau)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_fused_apply_vjp_matches_oracle(rng):
+    """The hand-written backward kernel vs jax.grad through a pure-jnp
+    replica of the SAME tile math. Weight/input grads must agree to
+    cotangent-rounding tolerance (the oracle's autodiff rounds cotangents
+    to bf16 at every cast site; the kernel rounds at matmul inputs)."""
+    import anerf_tpu.kernels.fused_render as fr
+    cfg, params, batch, pts, rays_d, packed, m_all, aux, pr = _fused_setup(
+        rng)
+    R, S = pts.shape[:2]
+    tau = jnp.float32(35.0)
+    gw = jnp.asarray(
+        np.random.default_rng(7).normal(size=(R, S, 4)).astype(np.float32))
+
+    def oracle(packed_in, pts_in, m_in, aux_in):
+        w = {n: packed_in[n] for n in fr._names(cfg.nerf)}
+        t = fr._transform_tile(S, R, _FakeRef(pts_in.reshape(R * S, 3)),
+                               _FakeRef(m_in), _FakeRef(aux_in))
+        out, _ = fr._forward_trace(cfg.nerf, w, t['v'], t['r'], t['d'],
+                                   t['fc'], tau)
+        return jnp.sum(out.reshape(R, S, fr.LANE)[:, :, :4] * gw)
+
+    def fused(packed_in, pts_in, m_in, aux_in):
+        out = fr.fused_apply(cfg.nerf, S, packed_in, pts_in, m_in, aux_in,
+                             tau)
+        return jnp.sum(out * gw)
+
+    lo, go = jax.value_and_grad(oracle, argnums=(0, 1, 2, 3))(
+        packed, pts, m_all, aux)
+    lf, gf = jax.value_and_grad(fused, argnums=(0, 1, 2, 3))(
+        packed, pts, m_all, aux)
+    assert abs(lo - lf) / abs(lo) < 1e-3
+
+    def relmax(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+
+    for n in fr._trainable_names(cfg.nerf):
+        assert relmax(go[0][n], gf[0][n]) < 0.02, n
+    assert relmax(go[1], gf[1]) < 0.02      # d_pts
+    assert relmax(go[2], gf[2]) < 0.02      # d_m_all (pose path)
+    assert relmax(go[3], gf[3]) < 0.02      # d_aux (pose/view/framecode)
+    # cutoff_dist and tau get zero grads by design (never trained)
+    for n in fr.CONST_NAMES:
+        assert not np.any(np.asarray(gf[0][n]))
+
+
+def test_render_rays_fused_matches_xla(rng):
+    """End-to-end render_rays with use_fused vs the XLA path."""
+    import dataclasses
+    from anerf_tpu.render.raycaster import render_rays
+    args, cfg, params, pose = flagship_tiny(rng)
+    cfg_f = dataclasses.replace(cfg, use_fused=True)
+    batch = synthetic_batch(rng, pose, n_rays=16, n_images=4)
+    pr = lambda k: batch[k][batch['pose_idx']]
+    key = jax.random.PRNGKey(3)
+    kwargs = dict(ray_batch=batch['rays'], kp_batch=pr('kp3d'),
+                  skts=pr('skts'), bones=pr('bones'), cyls=pr('cyls'),
+                  cam_idxs=batch['cam_idxs'], rng=key,
+                  tau=jnp.float32(35.0))
+    want = render_rays(params, cfg, **kwargs)
+    got = render_rays(params, cfg_f, **kwargs)
+    np.testing.assert_allclose(np.asarray(got['rgb_map']),
+                               np.asarray(want['rgb_map']),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(got['acc_map']),
+                               np.asarray(want['acc_map']),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_fused_render_matches_xla(rng):
     args, cfg, params, pose = flagship_tiny(rng)
     batch = synthetic_batch(rng, pose, n_rays=16, n_images=4)
