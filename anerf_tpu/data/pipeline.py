@@ -99,21 +99,37 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, n_images: int, prefetch: int = 6,
-                 seed: int = 0, num_workers: int = 2):
+                 seed: int = 0, num_workers: int = 2,
+                 stack: int = 1, stack_fn=None):
         self.dataset = dataset
         self.sampler = ImagePermutationSampler(len(dataset), n_images, seed)
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers)
+        # stack > 1: workers emit pre-stacked scan-unroll super-batches, so
+        # the train loop's per-dispatch host work is just the device upload
+        # (the numpy stack of K batches was a measured main-thread cost)
+        self.stack = max(1, stack)
+        self.stack_fn = stack_fn
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._sampler_lock = threading.Lock()
 
-    def _worker(self):
-        while not self._stop.is_set():
+    def _make(self):
+        if self.stack == 1:
             with self._sampler_lock:
                 idxs = self.sampler.next_batch()
-            batch = assemble_batch(self.dataset, idxs)
+            return assemble_batch(self.dataset, idxs)
+        with self._sampler_lock:
+            # one lock hold for the whole super-batch keeps the sampler's
+            # once-per-epoch coverage contiguous per dispatch
+            idx_list = [self.sampler.next_batch() for _ in range(self.stack)]
+        batches = [assemble_batch(self.dataset, i) for i in idx_list]
+        return self.stack_fn(batches)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self._make()
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)
@@ -136,8 +152,7 @@ class BatchLoader:
 
     def next(self) -> Dict[str, np.ndarray]:
         if not self._threads:
-            # synchronous fallback
-            return assemble_batch(self.dataset, self.sampler.next_batch())
+            return self._make()     # synchronous fallback
         return self._q.get()
 
     def stop(self):

@@ -85,10 +85,13 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
                                    n_framecodes=int(data_attrs['n_views']))
     save_args_txt(args, exp_dir)
     render_data = dataset.get_render_data()
+    unroll_ = max(1, args.scan_unroll)
     loader = BatchLoader(dataset, n_images=args.N_sample_images,
-                         prefetch=max(4, 2 * args.scan_unroll),
+                         prefetch=4,
                          seed=args.seed,
-                         num_workers=min(max(args.num_workers, 1), 8))
+                         num_workers=min(max(args.num_workers, 1), 8),
+                         stack=unroll_,
+                         stack_fn=stack_batches if unroll_ > 1 else None)
 
     cfg = build_render_config(args, data_attrs)
     key = jax.random.PRNGKey(args.seed)
@@ -268,11 +271,9 @@ def train(args: TrainConfig, dataset=None,
                              pose_frozen=True, **kw)
                 pose_frozen_rebuilt = True
 
-            if unroll > 1:
-                batch = stack_batches(
-                    [ctx.loader.next() for _ in range(unroll)])
-            else:
-                batch = ctx.loader.next()
+            # the loader emits pre-stacked unroll-sized super-batches
+            # (BatchLoader(stack=unroll)) assembled in its worker threads
+            batch = ctx.loader.next()
             if ctx.mesh is not None:
                 batch = shard_ray_batch(ctx.mesh, batch,
                                         stacked=unroll > 1)
