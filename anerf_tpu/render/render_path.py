@@ -21,6 +21,7 @@ from ..ops.rays import nerf_c2w_to_extrinsic
 from .raycaster import RenderConfig, render_rays
 
 
+@functools.lru_cache(maxsize=8)
 def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
     """Jitted renderer: generates the culled-box rays ON DEVICE and scans
     all buckets of one pose in ONE dispatch (per-dispatch latency and

@@ -73,6 +73,13 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
     exp_dir = os.path.join(args.basedir, args.expname)
     os.makedirs(exp_dir, exist_ok=True)
 
+    if args.opt_pose and 0.0 < args.cull_ratio < 0.5:
+        print('WARNING: deep occupancy culling (--cull_ratio < 0.5) with '
+              '--opt_pose measurably degrades pose refinement — the cull '
+              'windows follow the noisy poses and hide corrective '
+              'gradients (PERF.md pose-refinement study). Use no culling '
+              'or --cull_ratio 0.5 --cull_margin 0.3 while poses train.')
+
     if dataset is None:
         dataset = get_dataset(args)
     data_attrs = dataset.get_meta()
