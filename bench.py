@@ -109,6 +109,46 @@ def measure(state, step_fn, stacks, rays_per_dispatch,
     return statistics.median(rates), max(rates), state
 
 
+def measure_render(cull_ratio=0.25, n_views=8, res=512):
+    """512x512 bullet-time render throughput (the BASELINE render
+    protocol): box-valid rays/s over n_views, warmed with identical
+    shapes so no compile lands in the timed region."""
+    import dataclasses
+    from __graft_entry__ import _flagship
+    from anerf_tpu.render.modes import generate_bullet_time
+    from anerf_tpu.render.render_path import render_path
+
+    args, cfg, params, pose = _flagship(n_frames=8, n_rays=256, n_images=4)
+    if cull_ratio > 0:
+        n_keep = max(8, int(round(cfg.n_samples * cull_ratio / 8.0)) * 8)
+        cfg = dataclasses.replace(cfg, n_keep=n_keep)
+    H = W = res
+    focal = 1.2 * W
+    kp = pose['kp3d'][:1]
+    root = kp[0, 0]
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = root + np.array([0.0, 0.2, 2.5], np.float32)
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = -root
+    unshift = np.eye(4, dtype=np.float32)
+    unshift[:3, 3] = root
+    c2ws = generate_bullet_time(shift @ c2w, n_views=n_views).astype(
+        np.float32)
+    c2ws = np.array([unshift @ m for m in c2ws], np.float32)
+    kps = np.repeat(kp, n_views, 0)
+    skts = np.repeat(pose['skts'][:1], n_views, 0)
+    bones = np.repeat(pose['bones'][:1], n_views, 0)
+    hwf = (H, W, np.full((n_views,), focal))
+    kw = dict(tau=2000.0, chunk=args.chunk, ext_scale=0.001)
+    render_path(params, cfg, c2ws, hwf, kps, skts, bones, **kw)  # warm
+    t0 = time.perf_counter()
+    out = render_path(params, cfg, c2ws, hwf, kps, skts, bones, **kw)
+    dt = time.perf_counter() - t0
+    n_valid = int(sum((br[0] - tl[0]) * (br[1] - tl[1])
+                      for tl, br in out['bboxes']))
+    return n_valid / dt
+
+
 def scaling_table(n_devices: int):
     """Weak-scaling harness (--n_devices): per-chip rays/s + efficiency
     over a device mesh. On a CPU host this exercises a VIRTUAL mesh —
@@ -250,6 +290,13 @@ def main():
         headline = fast_med
     else:
         headline = default_med
+
+    if not a.skip_fast_grads:
+        try:
+            extras['render_box_rays_per_sec'] = round(
+                measure_render(cull_ratio=0.25), 1)
+        except Exception as e:       # render metric is auxiliary — never
+            extras['render_error'] = str(e)[:120]  # sink the train metric
 
     print(json.dumps({
         'metric': 'train_rays_per_sec',

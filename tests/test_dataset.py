@@ -149,3 +149,23 @@ def test_bkgd_segmenter_recovers_person_mask(tmp_path):
     assert inter / union > 0.5, f'IoU {inter / union:.2f}'
     # sampling masks are dilated supersets
     assert (sampling >= masks).all()
+
+
+def test_batchloader_prestacked_superbatches(h5_path):
+    """BatchLoader(stack=K) emits worker-stacked (K, ...) super-batches
+    with the sampler's once-per-epoch coverage preserved."""
+    from anerf_tpu.data.pipeline import BatchLoader
+    from anerf_tpu.data.surreal import SurrealDataset
+    from anerf_tpu.train.trainer import stack_batches
+
+    ds = SurrealDataset(h5_path, N_samples=8, split='train')
+    loader = BatchLoader(ds, n_images=2, prefetch=2, num_workers=1,
+                         stack=3, stack_fn=stack_batches)
+    b = loader.next()            # synchronous path
+    assert b['rays'].shape[0] == 3
+    assert b['rays'].shape[1] == 2 * 8
+    assert b['kp_idxs'].shape == (3, 2)
+    loader.start()
+    b2 = loader.next()           # threaded path
+    assert b2['rays'].shape == b['rays'].shape
+    loader.stop()

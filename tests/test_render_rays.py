@@ -115,3 +115,17 @@ def test_cull_samples_budget_shapes_and_quality(rng):
     assert out['alpha'].shape == (R, cfg.n_samples // 2 + cfg.n_importance)
     assert np.isfinite(np.asarray(out['rgb_map'])).all()
     assert np.isfinite(np.asarray(out['disp_map'])).all()
+
+
+def test_render_fn_cache_hit(rng):
+    """make_render_fn must be cached on the (hashable) RenderConfig —
+    a fresh jit wrapper per render_path call re-traces and re-compiles
+    every path render (the round-1 '28-55k rays/s variance', PERF.md)."""
+    import dataclasses
+    from anerf_tpu.render.render_path import make_render_fn
+    from helpers import build_tiny
+    args, cfg, params, pose = build_tiny(rng)
+    f1 = make_render_fn(cfg, False)
+    f2 = make_render_fn(dataclasses.replace(cfg), False)  # equal config
+    assert f1 is f2
+    assert make_render_fn(cfg, True) is not f1
