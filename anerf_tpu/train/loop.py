@@ -279,7 +279,10 @@ def train(args: TrainConfig, dataset=None,
                 pose_frozen_rebuilt = True
 
             # the loader emits pre-stacked unroll-sized super-batches
-            # (BatchLoader(stack=unroll)) assembled in its worker threads
+            # (BatchLoader(stack=unroll)) assembled in its worker threads.
+            # (Pre-uploading the next batch with an explicit device_put was
+            # measured SLOWER over the axon tunnel — 103k vs 126k rays/s —
+            # the eager per-leaf transfers compete with device compute.)
             batch = ctx.loader.next()
             if ctx.mesh is not None:
                 batch = shard_ray_batch(ctx.mesh, batch,
