@@ -11,7 +11,7 @@ import numpy as np
 from ..ops.cylinder import get_kp_bounding_cylinder
 from ..ops.fk import get_smpl_l2ws_np
 from ..ops.rays import nerf_c2w_to_extrinsic, world_to_cam_np
-from ..skeleton import smpl_rest_pose
+from ..skeleton import SMPLSkeleton, smpl_rest_pose
 from .schema import write_h5
 
 
@@ -32,13 +32,62 @@ def _look_at_c2w(cam_pos, target, up=(0.0, 1.0, 0.0)):
     return c2w
 
 
+def _bkgd_texture(H: int, W: int) -> np.ndarray:
+    """Deterministic non-constant background plate (sinusoid grid)."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    r = 0.55 + 0.25 * np.sin(xx * 0.21) * np.cos(yy * 0.17)
+    g = 0.55 + 0.25 * np.sin((xx + yy) * 0.13)
+    b = 0.55 + 0.25 * np.cos(xx * 0.09 - yy * 0.19)
+    return np.clip(np.stack([r, g, b], -1), 0, 1)
+
+
+def _render_limbs(kp2d: np.ndarray, xx: np.ndarray, yy: np.ndarray,
+                  H: int, W: int, width: float = 1.8):
+    """Capsule limbs between parent/child joint projections, per-limb
+    color gradients, textured background — thin structures for culling/
+    quality stress tests."""
+    img = _bkgd_texture(H, W).copy()
+    mask = np.zeros((H, W), np.uint8)
+    jt = SMPLSkeleton.joint_trees
+    for j in range(1, len(jt)):
+        p0 = kp2d[jt[j]].astype(np.float32)
+        p1 = kp2d[j].astype(np.float32)
+        seg = p1 - p0
+        L2 = float(seg @ seg) + 1e-8
+        # point-to-segment distance per pixel
+        t = np.clip(((xx - p0[0]) * seg[0] + (yy - p0[1]) * seg[1]) / L2,
+                    0.0, 1.0)
+        dx = xx - (p0[0] + t * seg[0])
+        dy = yy - (p0[1] + t * seg[1])
+        d = np.sqrt(dx * dx + dy * dy)
+        inside = d < width
+        cap_a = np.array([0.15 + 0.85 * (j % 3 == 0),
+                          0.15 + 0.85 * (j % 3 == 1),
+                          0.15 + 0.85 * (j % 3 == 2)], np.float32)
+        cap_b = np.array([0.9 - 0.6 * (j % 2), 0.4 + 0.5 * (j % 2), 0.7],
+                         np.float32)
+        color = cap_a[None, None] * (1 - t[..., None]) \
+            + cap_b[None, None] * t[..., None]
+        img = np.where(inside[..., None], color, img)
+        mask |= inside
+    return img, mask
+
+
 def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
                       H: int = 64, W: int = 64, seed: int = 0,
-                      ext_scale: float = 0.3) -> dict:
+                      ext_scale: float = 0.3,
+                      style: str = 'blobs') -> dict:
     """Write a synthetic dataset (SURREAL grid layout: N_cams x N_kps).
 
     ext_scale=0.3 puts the body at ~1 unit tall, filling a good fraction of
-    the frame from the ~2.5-unit camera ring."""
+    the frame from the ~2.5-unit camera ring.
+
+    style:
+      'blobs' — gaussian blobs at the 2D joint projections (fast, easy).
+      'limbs' — capsule limbs between parent/child joints with per-limb
+        color gradients on a textured (non-constant) background — a
+        harder scene with thin structures, for stressing sample-culling
+        and quality protocols."""
     rng = np.random.default_rng(seed)
     rest = (smpl_rest_pose * ext_scale).astype(np.float32)
 
@@ -61,20 +110,24 @@ def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
         ext = nerf_c2w_to_extrinsic(c2w)
         for k in range(n_kps):
             kp2d = world_to_cam_np(kp3d[k], ext, H, W, focal)
-            img = np.zeros((H, W, 3), np.float32)
             mask = np.zeros((H, W), np.uint8)
             yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-            for j, (x, y) in enumerate(kp2d):
-                d2 = (xx - x) ** 2 + (yy - y) ** 2
-                blob = np.exp(-d2 / (2 * 2.5 ** 2))
-                color = np.array([0.2 + 0.8 * (j % 3 == 0),
-                                  0.2 + 0.8 * (j % 3 == 1),
-                                  0.2 + 0.8 * (j % 3 == 2)], np.float32)
-                img += blob[..., None] * color
-                mask |= (d2 < 6.0 ** 2)
-            img = np.clip(img, 0, 1)
-            # white background outside the blobs
-            img = img + (1.0 - np.clip(img.sum(-1, keepdims=True), 0, 1))
+            if style == 'limbs':
+                img, mask = _render_limbs(kp2d, xx, yy, H, W)
+            else:
+                img = np.zeros((H, W, 3), np.float32)
+                for j, (x, y) in enumerate(kp2d):
+                    d2 = (xx - x) ** 2 + (yy - y) ** 2
+                    blob = np.exp(-d2 / (2 * 2.5 ** 2))
+                    color = np.array([0.2 + 0.8 * (j % 3 == 0),
+                                      0.2 + 0.8 * (j % 3 == 1),
+                                      0.2 + 0.8 * (j % 3 == 2)], np.float32)
+                    img += blob[..., None] * color
+                    mask |= (d2 < 6.0 ** 2)
+                img = np.clip(img, 0, 1)
+                # white background outside the blobs
+                img = img + (1.0 - np.clip(img.sum(-1, keepdims=True),
+                                           0, 1))
             imgs.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
             masks.append(mask)
         c2ws.append(c2w)
@@ -96,7 +149,8 @@ def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
         'imgs': imgs,
         'masks': masks.astype(np.uint8),
         'sampling_masks': sampling_masks,
-        'bkgds': (np.ones((1, H, W, 3)) * 255).astype(np.uint8),
+        'bkgds': ((_bkgd_texture(H, W)[None] if style == 'limbs'
+                   else np.ones((1, H, W, 3))) * 255).astype(np.uint8),
         'bkgd_idxs': np.zeros((n_imgs,), np.int64),
         'kp3d': np.tile(kp3d, (1, 1, 1)),
         'gt_kp3d': kp3d,

@@ -214,11 +214,23 @@ def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,
     cut = cutoff_dist * (1.0 + cfg.cull_margin)
     in_window = jnp.any(d2 < (cut * cut)[None, None, :], axis=-1)  # (R, S)
 
-    # partition: in-window (by z) first, out-of-window (by z) after;
-    # z_vals is ascending so one stable key sort does both
+    # Evenly-strided selection among the in-window samples: when a ray has
+    # more in-window samples than the budget, taking the FIRST n_keep by z
+    # truncates the far side of the body (measured as a silhouette-ring
+    # quality cost on the hard fixture). Pick ranks spread across the
+    # whole in-window span instead: keep in-window sample of rank r iff
+    # ceil(r*K/c) increments, which selects min(c, K) evenly spaced ones.
+    K = cfg.n_keep
+    rank = jnp.cumsum(in_window, axis=-1)                   # 1-based ranks
+    c = jnp.maximum(rank[:, -1:], 1)
+    sel_in = in_window & (jnp.ceil(rank * K / c)
+                          > jnp.ceil((rank - 1) * K / c))
+    # partition: selected (by z) first, everything else (by z) after;
+    # z_vals is ascending so one stable key sort does both. When c < K the
+    # remaining budget fills with the nearest non-selected samples by z.
     span = z_vals[:, -1:] - z_vals[:, :1] + 1e-6
-    key_order = jnp.where(in_window, 0.0, 1.0) * (span * 4.0) + z_vals
-    order = jnp.argsort(key_order, axis=-1)[:, :cfg.n_keep]
+    key_order = jnp.where(sel_in, 0.0, 1.0) * (span * 4.0) + z_vals
+    order = jnp.argsort(key_order, axis=-1)[:, :K]
     z_k = take_rows(z_vals, order)
     # restore ascending z among the kept set (mixed groups break it)
     z_order = jnp.argsort(z_k, -1)

@@ -271,13 +271,12 @@ def main():
     if a.n_devices:
         return scaling_table(a.n_devices)
 
-    # Headline = best-known config whose quality measured equal-or-better
-    # than the protocol default (PERF.md round-2 culling-depth study:
-    # cull 0.25 + fast_grads scored 37-38 dB across two seeds vs the
-    # no-cull baseline's 18.0 on the 4k-step fixture protocol — budget <
-    # in-window count concentrates every trained sample near the body).
-    # The reference-protocol default (all samples, f32 cotangents) is
-    # reported alongside as 'protocol_default'.
+    # Headline = deepest cull whose quality measured equal to the
+    # protocol default within the noise band on BOTH test fixtures
+    # (PERF.md round-2 culling-depth study: strided in-window selection,
+    # cull 0.25 + fast_grads — budget < in-window count concentrates
+    # every trained sample on the body). The reference-protocol default
+    # (all samples, f32 cotangents) is reported as 'protocol_default'.
     extras = {}
     state, step_fn, stacks, rpd = build(fast_grads=False)
     default_med, default_best, _ = measure(state, step_fn, stacks, rpd)

@@ -169,3 +169,20 @@ def test_batchloader_prestacked_superbatches(h5_path):
     b2 = loader.next()           # threaded path
     assert b2['rays'].shape == b['rays'].shape
     loader.stop()
+
+
+def test_limbs_fixture_loads(tmp_path):
+    """The harder 'limbs' fixture (capsule limbs, textured background)
+    writes a valid dataset and loads through the standard pipeline."""
+    from anerf_tpu.data.fixtures import make_synthetic_h5
+    from anerf_tpu.data.surreal import SurrealDataset
+
+    p = str(tmp_path / 'limbs.h5')
+    d = make_synthetic_h5(p, n_kps=4, n_cams=2, H=48, W=48, style='limbs')
+    assert 0.01 < d['masks'].mean() < 0.5          # thin but present
+    bg = d['bkgds'][0].astype(np.float32) / 255.0
+    assert bg.std() > 0.05                          # textured, not flat
+    ds = SurrealDataset(p, N_samples=16, split='train')
+    item = ds.get_item(0)
+    assert item['rays_o'].shape == (16, 3)
+    assert item['bgs'].shape == (16, 3)
