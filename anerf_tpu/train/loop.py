@@ -74,11 +74,11 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
     os.makedirs(exp_dir, exist_ok=True)
 
     if args.opt_pose and 0.0 < args.cull_ratio < 0.5:
-        print('WARNING: deep occupancy culling (--cull_ratio < 0.5) with '
-              '--opt_pose measurably degrades pose refinement — the cull '
-              'windows follow the noisy poses and hide corrective '
-              'gradients (PERF.md pose-refinement study). Use no culling '
-              'or --cull_ratio 0.5 --cull_margin 0.3 while poses train.')
+        print('note: --opt_pose with deep culling measured EQUAL to the '
+              'no-cull control under the strided in-window selector '
+              '(151 -> 81 mm MPJPE at cull 0.25); see the PERF.md '
+              'pose-refinement study for the evidence and its fixture '
+              'scope.')
 
     if dataset is None:
         dataset = get_dataset(args)
