@@ -81,13 +81,18 @@ class BaseH5Dataset:
         if self.dataset is None:
             # swmr matches every other open of this file in-process (h5py
             # rejects mixed swmr flags on the same file)
-            self.dataset = h5py.File(self.h5_path, 'r', swmr=True)
+            f = h5py.File(self.h5_path, 'r', swmr=True)
             # cache Dataset handles: h5py's group[name] resolves the name
             # and constructs a fresh Dataset object per access — measured
             # at ~40% of the loader inner loop
-            self._h = {k: self.dataset[k]
+            self._h = {k: f[k]
                        for k in ('imgs', 'masks', 'sampling_masks')
-                       if k in self.dataset}
+                       if k in f}
+            # publish the open-file flag LAST: concurrent BatchLoader
+            # workers gate on `self.dataset is None` and then touch
+            # self._h — the reverse order let a second worker race past
+            # the guard before _h existed
+            self.dataset = f
 
     def init_meta(self):
         """Load the small per-frame metadata into memory

@@ -131,8 +131,18 @@ def run_render(args):
     import h5py
     with h5py.File(data_h5, 'r', swmr=True) as f:
         img_shape = f['img_shape'][:]
-    H, W = (args.render_res if args.render_res
-            else (int(img_shape[1]), int(img_shape[2])))
+    H_native, W_native = int(img_shape[1]), int(img_shape[2])
+    if args.render_res:
+        assert len(args.render_res) == 2, 'render_res should be (H, W)'
+        H, W = args.render_res
+        # a non-native resolution keeps the field of view: intrinsics
+        # scale with the image height (reference run_render.py:166-172)
+        import dataclasses
+        src = dataclasses.replace(
+            src, focals=np.asarray(src.focals, np.float32)
+            * (float(H) / float(H_native)))
+    else:
+        H, W = H_native, W_native
 
     rtype = args.render_type
     if rtype == 'mesh':
@@ -205,8 +215,18 @@ def run_render(args):
             print(f'video write skipped: {e}')
 
     if args.eval:
+        if rtype not in EVAL_MODES:
+            raise ValueError(
+                f'--eval is only supported for {EVAL_MODES}; {rtype} '
+                f'outputs do not map 1:1 onto GT frames')
         evaluate(args, out, data_h5, mode_kwargs, outdir, H, W)
     return out
+
+
+# modes whose outputs correspond 1:1 to GT frames at `selected_idxs`
+# (the reference only evaluates val-like modes; e.g. bullet renders
+# n_views per pose, so GT alignment is undefined there)
+EVAL_MODES = ('val', 'selected', 'retarget', 'correction')
 
 
 def evaluate(args, out, data_h5, mode_kwargs, outdir, H, W):
@@ -217,14 +237,33 @@ def evaluate(args, out, data_h5, mode_kwargs, outdir, H, W):
     from anerf_tpu.utils.metrics import evaluate_metric_arrays
 
     sel = np.asarray(mode_kwargs.get('selected_idxs'))
+    if sel.ndim == 0 or sel.size == 0 or len(out['rgbs']) != len(sel):
+        raise ValueError(
+            f"--eval needs renders mapping 1:1 onto GT frames: got "
+            f"{len(out['rgbs'])} renders for {sel.size} selected_idxs "
+            f"(supported modes: {EVAL_MODES})")
     # h5py fancy indexing needs increasing unique indices; read at the
     # sorted positions then invert back so GT frames line up with the
     # render order (renders follow `sel` as given, not sorted).
     uniq, inv = np.unique(sel, return_inverse=True)
     with h5py.File(data_h5, 'r', swmr=True) as f:
+        if 'img_shape' in f:
+            Hn, Wn = int(f['img_shape'][1]), int(f['img_shape'][2])
+        else:
+            Hn, Wn = H, W  # GT stored at the render resolution
         gts = f['imgs'][uniq].reshape(
-            -1, H, W, 3).astype(np.float32)[inv] / 255.
-        fgs = f['masks'][uniq].reshape(-1, H, W, 1)[inv]
+            -1, Hn, Wn, 3).astype(np.float32)[inv] / 255.
+        fgs = f['masks'][uniq].reshape(-1, Hn, Wn, 1)[inv]
+    if (Hn, Wn) != (H, W):
+        # GT lives at the native resolution; rendering happened at
+        # --render_res — compare in render space
+        import cv2
+        gts = np.stack([cv2.resize(g, (W, H),
+                                   interpolation=cv2.INTER_AREA)
+                        for g in gts])
+        fgs = np.stack([cv2.resize(m.astype(np.float32), (W, H),
+                                   interpolation=cv2.INTER_NEAREST)
+                        for m in fgs])[..., None]
     metrics = evaluate_metric_arrays(out['rgbs'], gts, fgs=fgs,
                                      boxes=out['bboxes'])
     print('eval:', metrics)

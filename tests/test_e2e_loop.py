@@ -80,6 +80,45 @@ def test_checkpoint_resume(tmp_path, h5_path):
         np.asarray(ctx3.state.params['coarse']['pts_linears'][0]['w']), p0)
 
 
+def test_restore_from_path_variants(tmp_path, h5_path):
+    """--ft_path restore from an expdir / checkpoints dir / step dir:
+    weights merge into a fresh state, optimizer state stays untouched
+    (ft_path semantics are weights-only; reference raycasters.py:125-126)."""
+    from anerf_tpu.train.checkpoint import restore_from_path
+
+    args = e2e_args(tmp_path, h5_path, expname='ftsrc', i_weights=4,
+                    scan_unroll=1)
+    ds = SurrealDataset(h5_path, N_samples=args.N_rand // args.N_sample_images,
+                        split='train')
+    ctx = train(args, ds, n_iters=4)
+    w_src = np.asarray(
+        ctx.state.params['coarse']['pts_linears'][0]['w']).copy()
+
+    exp_dir = ctx.exp_dir
+    ckpt_dir = os.path.join(exp_dir, 'checkpoints')
+    step_dir = os.path.join(ckpt_dir, '4')
+    assert os.path.isdir(step_dir)
+
+    args2 = e2e_args(tmp_path, h5_path, expname='fttgt', no_reload=True)
+    ctx2 = setup(args2, ds)
+    for path in (exp_dir, ckpt_dir, step_dir):
+        restored = restore_from_path(path, ctx2.state)
+        assert int(restored.step) == 4, path
+        np.testing.assert_array_equal(
+            np.asarray(restored.params['coarse']['pts_linears'][0]['w']),
+            w_src)
+        assert restored.opt_state is ctx2.state.opt_state
+
+    # full wiring: setup(--ft_path --finetune) loads weights, resets step
+    args3 = e2e_args(tmp_path, h5_path, expname='ftwire', ft_path=step_dir,
+                     finetune=True)
+    ctx3 = setup(args3, ds)
+    assert ctx3.start_step == 0
+    np.testing.assert_array_equal(
+        np.asarray(ctx3.state.params['coarse']['pts_linears'][0]['w']),
+        w_src)
+
+
 def test_multi_subject_training(tmp_path, h5_path):
     """ConcatH5Dataset -> training with per-subject rest poses + pose-opt."""
     from anerf_tpu.data.dataset import ConcatH5Dataset

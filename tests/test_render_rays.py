@@ -91,6 +91,30 @@ def test_cull_samples_full_budget_is_identity(rng):
                                    np.asarray(base[k]), atol=1e-6, err_msg=k)
 
 
+def test_cull_samples_direct_roundtrip(rng):
+    """cull_samples itself with K == S must return (z, pts) unchanged.
+
+    The render path guards culling behind `n_keep < n_samples`, so the
+    full-budget identity test above never executes the selector; this
+    exercises the keep-everything branch directly.
+    """
+    import dataclasses
+    from anerf_tpu.render.raycaster import cull_samples
+
+    args, cfg, params, pose = build_tiny(rng)
+    R, S, J = 5, 16, pose['kp3d'].shape[1]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    # strictly increasing z so the ascending-z restore is a unique order
+    z = jnp.cumsum(jax.random.uniform(k1, (R, S)) + 0.01, axis=-1)
+    pts = jax.random.normal(k2, (R, S, 3))
+    kps = jnp.asarray(pose['kp3d'][:1].repeat(R, 0))
+    cutoff = jnp.full((J,), 0.5)
+    cfg_full = dataclasses.replace(cfg, n_keep=S)
+    z_out, pts_out = cull_samples(cfg_full, z, pts, kps, cutoff)
+    np.testing.assert_array_equal(np.asarray(z_out), np.asarray(z))
+    np.testing.assert_array_equal(np.asarray(pts_out), np.asarray(pts))
+
+
 def test_cull_samples_budget_shapes_and_quality(rng):
     """Reduced budget: static shapes hold, outputs finite, and in a scene
     where rays pass near the body the culled render stays close to the

@@ -103,6 +103,48 @@ def test_run_validation_saves_images(trained):
     assert any(f.startswith('disp_') for f in files)
 
 
+def test_render_res_scales_focal_and_eval(trained, monkeypatch):
+    """--render_res: intrinsics scale with the resolution — the projected
+    body bbox doubles at 2x res — and --eval resizes the native-res GT to
+    the render resolution (regression: focals were left unscaled and the
+    GT reshape crashed at non-native res). Mirrors reference
+    run_render.py:166-172."""
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args_n = _render_args(tmp, render_type='val', runname='rn',
+                          selected_idxs=[0, 1], eval=True)
+    out_n = rr.run_render(args_n)
+    args_2 = _render_args(tmp, render_type='val', runname='r2',
+                          selected_idxs=[0, 1], eval=True,
+                          render_res=[64, 64])
+    out_2 = rr.run_render(args_2)
+    assert out_2['rgbs'].shape[1:3] == (64, 64)
+    # eval wrote metrics at both resolutions (GT resize path exercised)
+    for run in ('rn', 'r2'):
+        mfile = os.path.join(str(tmp), 'render_out', 'surreal', run,
+                             'metrics.txt')
+        assert os.path.exists(mfile)
+    # reprojection geometry: with scaled intrinsics the projected box is
+    # ~2x in each dimension; unscaled focals would leave it ~1x
+    (tl_n, br_n) = out_n['bboxes'][0]
+    (tl_2, br_2) = out_2['bboxes'][0]
+    for d in range(2):
+        ratio = (br_2[d] - tl_2[d]) / max(br_n[d] - tl_n[d], 1)
+        assert 1.5 < ratio <= 2.5, (d, ratio, out_n['bboxes'][0],
+                                    out_2['bboxes'][0])
+
+
+def test_eval_rejects_non_1to1_modes(trained, monkeypatch):
+    """--eval on bullet (n_views renders per GT pose) must refuse instead
+    of misaligning GT frames."""
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='bullet', selected_idxs=None,
+                        runname='be', eval=True, no_save=True)
+    with pytest.raises(ValueError, match='--eval'):
+        rr.run_render(args)
+
+
 def test_eval_unsorted_selected_idxs(tmp_path):
     """GT frames must follow the render (selection) order, not sorted order
     (regression: evaluate() used np.sort on the h5 read, misaligning
