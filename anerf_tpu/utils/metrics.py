@@ -47,14 +47,26 @@ def _filter2d_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     return np.tensordot(v, k, axes=([-1], [0]))
 
 
+def _filter2d_same(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Zero-padded 'same' separable convolution (the conv math of the
+    reference's pinned pytorch-msssim fork: F.conv2d with
+    padding=window_size//2, groups=channel). Zero padding commutes with
+    the separable decomposition, so this equals the full 2D conv."""
+    pad = len(k) // 2
+    img = np.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+    return _filter2d_sep(img, k)
+
+
 def ssim(img: np.ndarray, target: np.ndarray,
          mask: Optional[np.ndarray] = None,
          data_range: float = 1.0) -> float:
     """Single-scale SSIM with an 11x1.5 gaussian window.
 
-    Matches the standard definition used by pytorch-msssim (the reference's
-    SSIM backend, run_render.py:17). mask (H, W) restricts the averaged
-    SSIM map (cropped 'valid' region) when given.
+    Matches the conv math of pytorch-msssim (the reference's SSIM backend,
+    run_render.py:17): zero-padded same-size convolution, so the SSIM map
+    covers the full image incl. borders. mask (H, W) reproduces the
+    reference's fg_ssim: (map * mask).sum() / (mask.sum() * C)
+    (reference run_render.py:953-958).
     """
     img = np.asarray(img, np.float64)
     target = np.asarray(target, np.float64)
@@ -65,20 +77,20 @@ def ssim(img: np.ndarray, target: np.ndarray,
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
 
-    mu_x = _filter2d_sep(img, k)
-    mu_y = _filter2d_sep(target, k)
-    sigma_x = _filter2d_sep(img * img, k) - mu_x ** 2
-    sigma_y = _filter2d_sep(target * target, k) - mu_y ** 2
-    sigma_xy = _filter2d_sep(img * target, k) - mu_x * mu_y
+    mu_x = _filter2d_same(img, k)
+    mu_y = _filter2d_same(target, k)
+    sigma_x = _filter2d_same(img * img, k) - mu_x ** 2
+    sigma_y = _filter2d_same(target * target, k) - mu_y ** 2
+    sigma_xy = _filter2d_same(img * target, k) - mu_x * mu_y
 
     ssim_map = ((2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)) / (
         (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2))
     if mask is not None:
-        pad = len(k) // 2
-        m = mask[pad:-pad, pad:-pad].astype(bool)
-        if m.sum() == 0:
+        m = np.asarray(mask, np.float64)
+        denom = m.sum() * ssim_map.shape[-1]
+        if denom == 0:
             return float('nan')
-        return float(ssim_map[m].mean())
+        return float((ssim_map * m[..., None]).sum() / denom)
     return float(ssim_map.mean())
 
 

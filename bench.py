@@ -6,10 +6,13 @@ Prints ONE JSON line:
 
 The north-star metric (BASELINE.md) is rays/sec/chip on the SURREAL recipe
 (N_rand 2048, 64+16 samples, multires 7/4, cutoff PE, full 8x256 MLP).
-vs_baseline is measured against a reference-implementation A100 estimate of
-~120k train rays/s (the reference publishes no numbers; see BASELINE.md —
-this constant documents the assumption and is revised when a measured
-baseline lands).
+vs_baseline divides the PROTOCOL-DEFAULT step (same sampling as the
+reference, f32 cotangents — apples-to-apples) by the derived reference
+A100 estimate of 60k train rays/s (central of the 20-120k band derived in
+BASELINE.md from measured FLOPs/ray x A100 utilization bounds,
+cross-checked against vanilla-NeRF torch throughput; the reference
+publishes no numbers). vs_baseline_headline divides the best quality-safe
+config (occupancy culling) by the same denominator.
 
 Protocol (remote-tunnel hygiene, PERF.md): inputs alternate between two
 distinct batch stacks and every dispatch chains through the train state, so
@@ -27,8 +30,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Assumed reference (torch, A100) training throughput for the SURREAL recipe.
-REFERENCE_TRAIN_RAYS_PER_SEC = 120_000.0
+# Derived reference (torch, A100) training throughput for the SURREAL
+# recipe: central estimate of the 20-120k rays/s band in BASELINE.md
+# ("Derived reference throughput") — 7.58e8 FLOPs/ray (XLA-counted) at a
+# generous ~24% of A100 TF32 peak for a chunked research torch pipeline.
+REFERENCE_TRAIN_RAYS_PER_SEC = 60_000.0
 
 
 def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False):
@@ -297,11 +303,17 @@ def main():
         except Exception as e:       # render metric is auxiliary — never
             extras['render_error'] = str(e)[:120]  # sink the train metric
 
+    # protocol-matched ratio (ADVICE r2): the strict-protocol step vs the
+    # derived reference estimate; the headline (best quality-safe config)
+    # gets its own ratio so the comparison stays apples-to-apples
+    extras['baseline_rays_per_sec'] = REFERENCE_TRAIN_RAYS_PER_SEC
+    extras['vs_baseline_headline'] = round(
+        headline / REFERENCE_TRAIN_RAYS_PER_SEC, 3)
     print(json.dumps({
         'metric': 'train_rays_per_sec',
         'value': round(headline, 1),
         'unit': 'rays/s',
-        'vs_baseline': round(headline / REFERENCE_TRAIN_RAYS_PER_SEC, 3),
+        'vs_baseline': round(default_med / REFERENCE_TRAIN_RAYS_PER_SEC, 3),
         **extras,
     }))
 
