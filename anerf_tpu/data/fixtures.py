@@ -73,6 +73,83 @@ def _render_limbs(kp2d: np.ndarray, xx: np.ndarray, yy: np.ndarray,
     return img, mask
 
 
+def _bkgd_texture_fine(H: int, W: int) -> np.ndarray:
+    """High-frequency background plate (period ~4 px at 96x96)."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    r = 0.5 + 0.3 * np.sin(xx * 1.6) * np.cos(yy * 1.4)
+    g = 0.5 + 0.3 * np.sign(np.sin((xx + yy) * 0.9)) * 0.8
+    b = 0.5 + 0.3 * np.cos(xx * 1.1 - yy * 1.3)
+    return np.clip(np.stack([r, g, b], -1), 0, 1)
+
+
+def _render_clutter(kp3d: np.ndarray, clutter3d: np.ndarray,
+                    ext: np.ndarray, xx: np.ndarray, yy: np.ndarray,
+                    H: int, W: int, focal: float,
+                    limb_width: float, clutter_px: float):
+    """Third adversarial fixture family (VERDICT r2 #1): striped capsule
+    limbs (high-frequency texture ON the body), rigid OFF-BODY clutter
+    spheres inside the cutoff windows but away from the skeleton, and a
+    high-frequency background. Elements are painted far-to-near by
+    camera depth, so self-occlusion boundaries exist.
+
+    kp3d (J, 3) world joints; clutter3d (C, 3) world sphere centers.
+    """
+    img = _bkgd_texture_fine(H, W).copy()
+    mask = np.zeros((H, W), np.uint8)
+    jt = SMPLSkeleton.joint_trees
+
+    def cam_depth(p):
+        return float(-(ext[:3, :3] @ p + ext[:3, 3])[2])
+
+    def project(p):
+        c = ext[:3, :3] @ p + ext[:3, 3]
+        return np.array([W * 0.5 + focal * c[0] / -c[2],
+                         H * 0.5 - focal * c[1] / -c[2]], np.float32)
+
+    elems = []
+    for j in range(1, len(jt)):
+        mid = 0.5 * (kp3d[jt[j]] + kp3d[j])
+        elems.append((cam_depth(mid), 'limb', j))
+    for c in range(len(clutter3d)):
+        elems.append((cam_depth(clutter3d[c]), 'clutter', c))
+    elems.sort(key=lambda e: -e[0])   # far first
+
+    for depth, kind, idx in elems:
+        if kind == 'limb':
+            j = idx
+            p0 = project(kp3d[jt[j]])
+            p1 = project(kp3d[j])
+            seg = p1 - p0
+            L2 = float(seg @ seg) + 1e-8
+            t = np.clip(((xx - p0[0]) * seg[0] + (yy - p0[1]) * seg[1]) / L2,
+                        0.0, 1.0)
+            dx = xx - (p0[0] + t * seg[0])
+            dy = yy - (p0[1] + t * seg[1])
+            inside = (dx * dx + dy * dy) < limb_width ** 2
+            # hard stripes along the limb axis, period ~4 px
+            period = max(4.0, 0.08 * np.sqrt(L2))
+            band = (np.sin(t * np.sqrt(L2) * (2 * np.pi / period))
+                    > 0.0).astype(np.float32)[..., None]
+            ca = np.array([0.95 * (j % 3 == 0) + 0.05,
+                           0.95 * (j % 3 == 1) + 0.05,
+                           0.95 * (j % 3 == 2) + 0.05], np.float32)
+            cb = np.array([0.9, 0.9, 0.1], np.float32) if j % 2 else \
+                np.array([0.1, 0.85, 0.9], np.float32)
+            color = ca[None, None] * band + cb[None, None] * (1.0 - band)
+        else:
+            p = project(clutter3d[idx])
+            d2 = (xx - p[0]) ** 2 + (yy - p[1]) ** 2
+            inside = d2 < clutter_px ** 2
+            checker = (((xx // 2).astype(int) + (yy // 2).astype(int)) % 2
+                       ).astype(np.float32)[..., None]
+            ca = np.array([1.0, 0.3, 0.0], np.float32) if idx % 2 else \
+                np.array([0.0, 0.4, 1.0], np.float32)
+            color = ca[None, None] * checker + (1.0 - checker) * 0.95
+        img = np.where(inside[..., None], color, img)
+        mask |= inside
+    return img, mask
+
+
 def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
                       H: int = 64, W: int = 64, seed: int = 0,
                       ext_scale: float = 0.3,
@@ -87,7 +164,12 @@ def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
       'limbs' — capsule limbs between parent/child joints with per-limb
         color gradients on a textured (non-constant) background — a
         harder scene with thin structures, for stressing sample-culling
-        and quality protocols."""
+        and quality protocols.
+      'clutter' — third adversarial family (VERDICT r2 #1): striped
+        limbs (high-frequency on-body texture), rigid off-body clutter
+        spheres inside the cutoff windows but off the skeleton, hard
+        self-occlusion (depth-ordered painting), high-frequency
+        background."""
     rng = np.random.default_rng(seed)
     rest = (smpl_rest_pose * ext_scale).astype(np.float32)
 
@@ -97,6 +179,19 @@ def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
     skts = np.linalg.inv(l2ws).astype(np.float32)
     # fixture world is y-up (smpl rest pose head at +y)
     cyls = get_kp_bounding_cylinder(kp3d, ext_scale=0.001, head='y')
+
+    # off-body clutter: spheres rigidly attached to joint local frames at
+    # offsets well inside the cutoff windows (0.5 units at the default
+    # cutoff_mm=500 / ext_scale=1e-3 recipe) but off the skeleton — content
+    # a sample-culling policy must not starve of trained samples
+    clutter_joints = np.array([4, 5, 18, 19, 12, 0])
+    clutter_local = (rng.normal(size=(len(clutter_joints), 3))
+                     * 0.12).astype(np.float32)
+    clutter_local += np.sign(clutter_local) * 0.18   # push 0.18-0.4 off-joint
+    clutter3d = np.einsum(
+        'kjab,jb->kja',
+        l2ws[:, clutter_joints, :3, :3], clutter_local) \
+        + kp3d[:, clutter_joints]                     # (n_kps, C, 3)
 
     focal = 1.2 * W
     radius = 2.5
@@ -114,6 +209,10 @@ def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
             yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
             if style == 'limbs':
                 img, mask = _render_limbs(kp2d, xx, yy, H, W)
+            elif style == 'clutter':
+                img, mask = _render_clutter(
+                    kp3d[k], clutter3d[k], ext, xx, yy, H, W, focal,
+                    limb_width=1.8 * W / 64.0, clutter_px=3.0 * W / 64.0)
             else:
                 img = np.zeros((H, W, 3), np.float32)
                 for j, (x, y) in enumerate(kp2d):
@@ -150,6 +249,7 @@ def make_synthetic_h5(path: str, n_kps: int = 8, n_cams: int = 3,
         'masks': masks.astype(np.uint8),
         'sampling_masks': sampling_masks,
         'bkgds': ((_bkgd_texture(H, W)[None] if style == 'limbs'
+                   else _bkgd_texture_fine(H, W)[None] if style == 'clutter'
                    else np.ones((1, H, W, 3))) * 255).astype(np.uint8),
         'bkgd_idxs': np.zeros((n_imgs,), np.int64),
         'kp3d': np.tile(kp3d, (1, 1, 1)),

@@ -218,12 +218,17 @@ def apply_nerf(params: Dict[str, Any], cfg: NeRFConfig,
                input_pts: jnp.ndarray, input_views: jnp.ndarray,
                framecodes: Optional[jnp.ndarray] = None,
                compute_dtype=jnp.bfloat16,
-               fast_grads: bool = False) -> jnp.ndarray:
+               fast_grads: bool = False,
+               alpha_f32: bool = False) -> jnp.ndarray:
     """Full forward: (..., dnet_in), (..., views_in) -> raw (..., 4)
-    = [rgb_logits(3), sigma(1)] (nerf.py:133-148)."""
+    = [rgb_logits(3), sigma(1)] (nerf.py:133-148).
+
+    alpha_f32: keep the default f32-cotangent backward on the alpha
+    (density) head even when fast_grads lowers the rest to bf16."""
     h = forward_density(params, cfg, input_pts, compute_dtype, fast_grads)
     if cfg.use_viewdirs:
-        alpha = _dense(params['alpha_linear'], h, compute_dtype, fast_grads)
+        alpha = _dense(params['alpha_linear'], h, compute_dtype,
+                       fast_grads and not alpha_f32)
         rgb = forward_view(params, cfg, input_views, h, framecodes,
                            compute_dtype, fast_grads)
         return jnp.concatenate([rgb, alpha], -1)

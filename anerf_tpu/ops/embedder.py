@@ -147,6 +147,114 @@ def _make_sincos_pe(fb: np.ndarray, out_dtype):
     return sincos_pe
 
 
+def _make_hifi_window_pe(fb: np.ndarray, include_input: bool,
+                         cutoff_inputs: bool, out_dtype):
+    """Cutoff-windowed PE with f32 forward and bf16 backward.
+
+    Forward: the EXACT default f32 chain (sin/cos, stack, concat of the
+    raw-input block, window multiply) emitted in out_dtype — bit-identical
+    to the default path followed by `.astype(out_dtype)`, because rounding
+    happens exactly once, at emission. Backward: the wide (..., K, D)
+    cotangent math runs in out_dtype (sin/cos recomputed from the small
+    residuals, never stored); only the freq-reduced input gradients and the
+    channel-reduced window gradient accumulate in f32. Gradient noise is
+    fast_grads-class; forward rendering is default-class.
+
+    Covers the standard branch combo (freq_schedule off, no normalize);
+    `embed` falls back to the plain paths otherwise.
+    """
+    fb_f = jnp.asarray(fb, jnp.float32)
+    NF = len(fb)
+
+    def _emb16(x_freq):
+        arg = fb_f[:, None] * x_freq[..., None, :]
+        s = jnp.sin(arg).astype(out_dtype)
+        c = jnp.cos(arg).astype(out_dtype)
+        e = jnp.stack([s, c], axis=-2)
+        return e.reshape(*e.shape[:-3], 2 * NF, e.shape[-1]), s, c
+
+    def _bshape(x_freq, x_raw, w):
+        return jnp.broadcast_shapes(x_freq[..., None, :].shape[:-2],
+                                    x_raw[..., None, :].shape[:-2],
+                                    w.shape[:-2])
+
+    @jax.custom_vjp
+    def hifi_pe(x_freq, x_raw, w):
+        arg = fb_f[:, None] * x_freq[..., None, :]
+        emb = jnp.stack([jnp.sin(arg), jnp.cos(arg)], axis=-2)
+        emb = emb.reshape(*emb.shape[:-3], 2 * NF, emb.shape[-1])
+        xb = x_raw[..., None, :]
+        batch = _bshape(x_freq, x_raw, w)
+        if include_input and cutoff_inputs:
+            xb = jnp.broadcast_to(xb, batch + xb.shape[-2:])
+            emb = jnp.broadcast_to(emb, batch + emb.shape[-2:])
+            emb = jnp.concatenate([xb, emb], axis=-2)
+            emb = emb * w
+        elif include_input:
+            emb = emb * w
+            xb = jnp.broadcast_to(xb, batch + xb.shape[-2:])
+            emb = jnp.broadcast_to(emb, batch + emb.shape[-2:])
+            emb = jnp.concatenate([xb, emb], axis=-2)
+        else:
+            emb = emb * w
+        return emb.astype(out_dtype)
+
+    def fwd(x_freq, x_raw, w):
+        return hifi_pe(x_freq, x_raw, w), (x_freq, x_raw, w)
+
+    def _reduce_to(g, shape):
+        """Sum g over broadcast axes so it matches `shape` (f32 accum)."""
+        extra = g.ndim - len(shape)
+        if extra > 0:
+            g = g.sum(tuple(range(extra)))
+        axes = tuple(i for i, (a, b) in enumerate(zip(g.shape, shape))
+                     if a != b)
+        if axes:
+            g = g.sum(axes, keepdims=True)
+        return g
+
+    def bwd(res, g):
+        x_freq, x_raw, w = res
+        w16 = w.astype(out_dtype)
+        emb16, s16, c16 = _emb16(x_freq)
+        if include_input and cutoff_inputs:
+            g_cat = g * w16
+            xb = x_raw[..., None, :].astype(out_dtype)
+            # window grad: out = cat(xb, emb) * w — the raw-input row plus
+            # the freq rows, both reduced over K in f32
+            cat16_x = jnp.broadcast_to(xb, g[..., :1, :].shape)
+            gw = (g[..., :1, :] * cat16_x).astype(jnp.float32).sum(
+                -2, keepdims=True)
+            gw = gw + jnp.einsum('...kd,...kd->...d', g[..., 1:, :], emb16,
+                                 preferred_element_type=jnp.float32
+                                 )[..., None, :]
+            g_raw = g_cat[..., 0, :]
+            g_freq = g_cat[..., 1:, :]
+        elif include_input:
+            g_raw = g[..., 0, :]
+            g_fw = g[..., 1:, :]
+            gw = jnp.einsum('...kd,...kd->...d', g_fw, emb16,
+                            preferred_element_type=jnp.float32)[..., None, :]
+            g_freq = g_fw * w16
+        else:
+            gw = jnp.einsum('...kd,...kd->...d', g, emb16,
+                            preferred_element_type=jnp.float32)[..., None, :]
+            g_freq = g * w16
+        gp = g_freq.reshape(*g_freq.shape[:-2], NF, 2, g_freq.shape[-1])
+        g_arg = gp[..., 0, :] * c16 - gp[..., 1, :] * s16
+        gx_freq = jnp.einsum('...fd,f->...d', g_arg,
+                             fb_f.astype(out_dtype),
+                             preferred_element_type=jnp.float32)
+        gx_freq = _reduce_to(gx_freq, x_freq.shape).astype(x_freq.dtype)
+        g_raw_f = _reduce_to(g_raw.astype(jnp.float32), x_raw.shape
+                             ).astype(x_raw.dtype)
+        gw = _reduce_to(gw, w.shape).astype(w.dtype)
+        return gx_freq, g_raw_f, gw
+
+    hifi_pe.defvjp(fwd, bwd)
+    return hifi_pe
+
+
 def embed(cfg: EmbedConfig,
           inputs: jnp.ndarray,
           dists: Optional[jnp.ndarray] = None,
@@ -154,6 +262,7 @@ def embed(cfg: EmbedConfig,
           tau: Optional[jnp.ndarray] = None,
           alpha: Optional[jnp.ndarray] = None,
           out_dtype=None,
+          hifi_dtype=None,
           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Apply the (cutoff) positional encoding.
 
@@ -194,6 +303,17 @@ def embed(cfg: EmbedConfig,
         v = tau * (dists_e - cutoff_dist)
 
     w = 1.0 - jax.nn.sigmoid(v)[..., None, :]                # (..., 1, D)
+
+    if (hifi_dtype is not None and out_dtype is None
+            and not cfg.freq_schedule and not cfg.normalize
+            and cfg.num_freqs > 0):
+        # f32-forward / bf16-backward PE: bit-identical forward to the
+        # default chain + final cast; only the backward is lowered
+        pe_fn = _make_hifi_window_pe(cfg.freq_bands(), cfg.include_input,
+                                     cfg.cutoff_inputs, hifi_dtype)
+        emb = pe_fn(x_freq, x, w)
+        return emb.reshape(*emb.shape[:-2],
+                           emb.shape[-2] * emb.shape[-1]), w
 
     # (..., NF, D) sin/cos; low-precision emission + backward when asked
     if out_dtype is not None:

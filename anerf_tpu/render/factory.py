@@ -94,6 +94,8 @@ def build_render_config(args: TrainConfig, data_attrs: Dict[str, Any]
         density_type=args.density_type, softplus_shift=args.softplus_shift,
         density_scale=args.density_scale,
         compute_dtype=args.compute_dtype, fast_grads=args.fast_grads,
+        fast_pe=args.fast_pe, fast_mlp=args.fast_mlp,
+        alpha_f32=args.alpha_f32, hifi_pe=args.hifi_pe,
         n_keep=_n_keep(args, skel), cull_margin=args.cull_margin,
         use_fused=args.fused_kernel)
     if cfg.use_fused:

@@ -63,6 +63,11 @@ class RenderConfig:
     # opt-in low-precision backward + PE emission: ~18% faster train step,
     # measured ~2 dB background-PSNR cost on the synthetic recipe (PERF.md)
     fast_grads: bool = False
+    # fine-grained overrides (None = follow fast_grads); see config.py
+    fast_pe: Optional[bool] = None
+    fast_mlp: Optional[bool] = None
+    alpha_f32: bool = False       # f32 cotangents on the alpha head
+    hifi_pe: bool = False         # f32-forward / bf16-backward PE
     # opt-in sample culling (--cull_ratio): keep only the n_keep samples
     # per ray closest to the body (inside the cutoff windows, ordered by
     # z), drop the rest before encode/MLP. The cutoff window already
@@ -81,6 +86,14 @@ class RenderConfig:
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
+
+    @property
+    def eff_fast_pe(self) -> bool:
+        return self.fast_grads if self.fast_pe is None else self.fast_pe
+
+    @property
+    def eff_fast_mlp(self) -> bool:
+        return self.fast_grads if self.fast_mlp is None else self.fast_mlp
 
     def test_mode(self) -> 'RenderConfig':
         """Copy with stochasticity disabled (reference raycasters.py:170-178)."""
@@ -151,23 +164,26 @@ def encode_inputs(cfg: RenderConfig,
     # the encode->MLP boundary (the 360/648-wide tensors).
     enc_dtype = cfg.dtype or jnp.float32
     # low-precision PE emission/backward only on the opt-in fast path: the
-    # double rounding measurably costs background PSNR (PERF.md)
-    _pe_dtype = cfg.dtype if cfg.fast_grads else None
+    # double rounding measurably costs background PSNR (PERF.md). hifi_pe
+    # keeps the forward bits identical to the default (single rounding)
+    # and lowers only the backward to bf16.
+    _pe_dtype = cfg.dtype if cfg.eff_fast_pe else None
+    _hifi = cfg.hifi_pe and cfg.dtype is not None
+    pe_kw = dict(tau=tau, alpha=alpha_sched, out_dtype=_pe_dtype,
+                 hifi_dtype=cfg.dtype if _hifi else None)
 
     v_e, _ = embed(cfg.embed_kp, v, dists=j_dists, cutoff_dist=cutoff_dist,
-                   tau=tau, alpha=alpha_sched, out_dtype=_pe_dtype)
+                   **pe_kw)
     v_e = v_e.astype(enc_dtype)
     r_e = None
     if r is not None and cfg.embed_bone is not None:
         r_e, _ = embed(cfg.embed_bone, r, dists=j_dists,
-                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched,
-                       out_dtype=_pe_dtype)
+                       cutoff_dist=cutoff_dist, **pe_kw)
         r_e = r_e.astype(enc_dtype)
     d_e = None
     if cfg.use_viewdirs and cfg.embed_view is not None:
         d_e, _ = embed(cfg.embed_view, d, dists=j_dists,
-                       cutoff_dist=cutoff_dist, tau=tau, alpha=alpha_sched,
-                       out_dtype=_pe_dtype)
+                       cutoff_dist=cutoff_dist, **pe_kw)
         d_e = d_e.astype(enc_dtype)
         if d_e.shape[1] == 1:
             d_e = jnp.broadcast_to(d_e, (d_e.shape[0], pts.shape[1],
@@ -190,7 +206,8 @@ def run_network(cfg: RenderConfig, params: Dict[str, Any],
         fc = jnp.broadcast_to(framecodes[:, None],
                               pts_in.shape[:2] + (framecodes.shape[-1],))
     return apply_nerf(params, cfg.nerf, pts_in, views_in, fc,
-                      compute_dtype=cfg.dtype, fast_grads=cfg.fast_grads)
+                      compute_dtype=cfg.dtype, fast_grads=cfg.eff_fast_mlp,
+                      alpha_f32=cfg.alpha_f32)
 
 
 def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,

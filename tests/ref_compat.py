@@ -74,10 +74,31 @@ def _install_stubs():
 
     smplx = types.ModuleType('smplx')
     smplx.SMPL = type('SMPL', (), {})
+    smplx_lbs = types.ModuleType('smplx.lbs')
+    smplx_lbs.vertices2joints = lambda *a, **k: None
+    smplx.lbs = smplx_lbs
     sys.modules.setdefault('smplx', smplx)
+    sys.modules.setdefault('smplx.lbs', smplx_lbs)
 
     deepdish = types.ModuleType('deepdish')
     sys.modules.setdefault('deepdish', deepdish)
+
+    msssim = types.ModuleType('pytorch_msssim')
+    msssim.SSIM = type('SSIM', (), {'__init__': lambda self, **k: None})
+    sys.modules.setdefault('pytorch_msssim', msssim)
+
+    # configargparse is not installed; the reference only needs the
+    # argparse surface plus the is_config_file kwarg
+    import argparse
+
+    class _CAParser(argparse.ArgumentParser):
+        def add_argument(self, *a, **k):
+            k.pop('is_config_file', None)
+            return super().add_argument(*a, **k)
+
+    capkg = types.ModuleType('configargparse')
+    capkg.ArgumentParser = _CAParser
+    sys.modules.setdefault('configargparse', capkg)
 
 
 def import_reference(module: str):

@@ -180,3 +180,91 @@ def test_bf16_out_dtype_values_and_grads(rng):
         rel = np.abs(a - b) / np.maximum(np.abs(a), floor)
         assert float(rel.mean()) < 0.01, float(rel.mean())
         assert float(rel.max()) < 0.2, float(rel.max())
+
+
+@pytest.mark.parametrize('cutoff_inputs', [True, False])
+def test_hifi_pe_forward_bit_identical(rng, cutoff_inputs):
+    """hifi_dtype: the forward must be BIT-identical to the default f32
+    chain followed by a single cast — across both include orderings and
+    the broadcast view layout."""
+    # kp-style: inputs are the dists (R, S, 24)
+    x = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    cutoff = np.full((24,), 0.5, dtype=np.float32)
+    cfg = EmbedConfig(input_dims=24, num_freqs=5, cutoff=True, cutoff_dim=24,
+                      cutoff_inputs=cutoff_inputs, dist_inputs=False)
+    kw = dict(dists=jnp.asarray(x), cutoff_dist=jnp.asarray(cutoff),
+              tau=jnp.float32(20.0))
+    ref, _ = embed(cfg, jnp.asarray(x), **kw)
+    got, _ = embed(cfg, jnp.asarray(x), **kw, hifi_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(ref.astype(jnp.bfloat16), dtype=np.float32),
+        np.asarray(got, dtype=np.float32))
+
+    # view-style: inputs (R, 1, 72) broadcast against dists (R, S, 24)
+    xv = rng.normal(size=(4, 1, 72)).astype(np.float32)
+    dv = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    cfgv = EmbedConfig(input_dims=72, num_freqs=3, cutoff=True,
+                       cutoff_dim=24, cutoff_inputs=cutoff_inputs,
+                       dist_inputs=True)
+    kwv = dict(dists=jnp.asarray(dv), cutoff_dist=jnp.asarray(cutoff),
+               tau=jnp.float32(20.0))
+    refv, _ = embed(cfgv, jnp.asarray(xv), **kwv)
+    gotv, _ = embed(cfgv, jnp.asarray(xv), **kwv, hifi_dtype=jnp.bfloat16)
+    assert gotv.shape == refv.shape
+    np.testing.assert_array_equal(
+        np.asarray(refv.astype(jnp.bfloat16), dtype=np.float32),
+        np.asarray(gotv, dtype=np.float32))
+
+
+@pytest.mark.parametrize('cutoff_inputs', [True, False])
+def test_hifi_pe_backward_close_to_f32(rng, cutoff_inputs):
+    """hifi backward (bf16 wide math) tracks the f32 gradients for both
+    the frequency inputs and the window (dists) path."""
+    x = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    d = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    cutoff = np.full((24,), 0.5, dtype=np.float32)
+    cfg = EmbedConfig(input_dims=24, num_freqs=5, cutoff=True, cutoff_dim=24,
+                      cutoff_inputs=cutoff_inputs, dist_inputs=False)
+
+    def f(xx, dd, hifi):
+        e, _ = embed(cfg, xx, dists=dd, cutoff_dist=jnp.asarray(cutoff),
+                     tau=jnp.float32(20.0),
+                     hifi_dtype=jnp.bfloat16 if hifi else None)
+        wsum = jnp.arange(e.size, dtype=jnp.float32).reshape(e.shape) / e.size
+        return jnp.sum(e.astype(jnp.float32) * wsum)
+
+    g32 = jax.grad(f, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(d), False)
+    g16 = jax.grad(f, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(d), True)
+    for a, b in zip(g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        floor = 0.1 * np.abs(a).mean() + 1e-6
+        rel = np.abs(a - b) / np.maximum(np.abs(a), floor)
+        assert float(rel.mean()) < 0.01, float(rel.mean())
+        assert float(rel.max()) < 0.2, float(rel.max())
+
+
+def test_hifi_pe_view_broadcast_grads(rng):
+    """Broadcast view layout: gradient shapes reduce correctly over the
+    sample axis and stay finite/close to f32."""
+    xv = rng.normal(size=(4, 1, 72)).astype(np.float32)
+    dv = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    cutoff = np.full((24,), 0.5, dtype=np.float32)
+    cfgv = EmbedConfig(input_dims=72, num_freqs=3, cutoff=True,
+                       cutoff_dim=24, cutoff_inputs=True, dist_inputs=True)
+
+    def f(xx, dd, hifi):
+        e, _ = embed(cfgv, xx, dists=dd, cutoff_dist=jnp.asarray(cutoff),
+                     tau=jnp.float32(20.0),
+                     hifi_dtype=jnp.bfloat16 if hifi else None)
+        wsum = jnp.arange(e.size, dtype=jnp.float32).reshape(e.shape) / e.size
+        return jnp.sum(e.astype(jnp.float32) * wsum)
+
+    g32 = jax.grad(f, argnums=(0, 1))(jnp.asarray(xv), jnp.asarray(dv), False)
+    g16 = jax.grad(f, argnums=(0, 1))(jnp.asarray(xv), jnp.asarray(dv), True)
+    assert g16[0].shape == xv.shape and g16[1].shape == dv.shape
+    for a, b in zip(g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        floor = 0.1 * np.abs(a).mean() + 1e-6
+        rel = np.abs(a - b) / np.maximum(np.abs(a), floor)
+        assert float(rel.mean()) < 0.02, float(rel.mean())

@@ -153,3 +153,51 @@ def test_render_fn_cache_hit(rng):
     f2 = make_render_fn(dataclasses.replace(cfg), False)  # equal config
     assert f1 is f2
     assert make_render_fn(cfg, True) is not f1
+
+
+def test_hifi_pe_render_forward_bit_identical(rng):
+    """cfg.hifi_pe changes only the backward: the rendered forward under
+    bf16 compute must be bit-identical to the default path."""
+    import dataclasses
+    args, cfg, params, pose = build_tiny(rng, compute_dtype='bfloat16')
+    batch = synthetic_batch(rng, pose)
+    per_ray = lambda k: batch[k][batch['pose_idx']]
+    common = dict(cam_idxs=batch['cam_idxs'], rng=jax.random.PRNGKey(3),
+                  tau=jnp.float32(150.0))
+    base = render_rays(params, cfg, batch['rays'], per_ray('kp3d'),
+                       per_ray('skts'), per_ray('bones'), per_ray('cyls'),
+                       **common)
+    hifi = render_rays(params, dataclasses.replace(cfg, hifi_pe=True),
+                       batch['rays'], per_ray('kp3d'), per_ray('skts'),
+                       per_ray('bones'), per_ray('cyls'), **common)
+    for k in ('rgb_map', 'acc_map', 'rgb0'):
+        np.testing.assert_array_equal(np.asarray(base[k]),
+                                      np.asarray(hifi[k]), err_msg=k)
+
+
+def test_fast_knob_combos_finite_grads(rng):
+    """The split fast-grads knobs (fast_pe / fast_mlp / alpha_f32 /
+    hifi_pe) all produce finite losses and gradients."""
+    import dataclasses
+    args, cfg, params, pose = build_tiny(rng, compute_dtype='bfloat16')
+    batch = synthetic_batch(rng, pose)
+    per_ray = lambda k: batch[k][batch['pose_idx']]
+
+    def loss(p, c):
+        out = render_rays(p, c, batch['rays'], per_ray('kp3d'),
+                          per_ray('skts'), per_ray('bones'),
+                          per_ray('cyls'), cam_idxs=batch['cam_idxs'],
+                          rng=jax.random.PRNGKey(3), tau=jnp.float32(150.0))
+        return jnp.mean((out['rgb_map'] - 0.5) ** 2) + \
+            jnp.mean((out['rgb0'] - 0.5) ** 2)
+
+    combos = [dict(fast_pe=True, fast_mlp=False),
+              dict(fast_pe=False, fast_mlp=True),
+              dict(fast_mlp=True, alpha_f32=True),
+              dict(hifi_pe=True, fast_mlp=True, alpha_f32=True)]
+    for kw in combos:
+        c = dataclasses.replace(cfg, **kw)
+        val, g = jax.value_and_grad(loss)(params, c)
+        assert np.isfinite(float(val)), kw
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves), kw
