@@ -294,6 +294,41 @@ class BaseH5Dataset:
             self._dirs_cache[key] = cached = dirs
         return cached
 
+    # in-RAM operand tables for the native whole-dispatch assembler; None
+    # when the dataset shape is unsupported or the pixel data is too large
+    _super_ops = None
+    _super_tried = False
+
+    def super_operands(self, cache_limit_bytes: int = 4 << 30):
+        """Operand tables for fast_sampler.assemble_super_batch: the pixel
+        arrays loaded into RAM (u8), plus accessors the loader needs.
+        Returns None when unsupported (no native extension, patch/NMS
+        sampling, temporal wrapper) or when the pixel data exceeds
+        `cache_limit_bytes` (keeps the h5-streaming path for huge sets)."""
+        if self._super_tried:
+            return self._super_ops
+        self._super_tried = True
+        if (self._native is None
+                or not hasattr(self._native, 'assemble_super_batch')
+                or self.temp_validity is not None):
+            return None
+        with h5py.File(self.h5_path, 'r', swmr=True) as f:
+            total = (f['imgs'].size + f['masks'].size
+                     + f['sampling_masks'].size)
+            if total > cache_limit_bytes:
+                return None
+            H, W = self.HW
+            self._super_ops = {
+                'imgs': np.ascontiguousarray(f['imgs'][:]),
+                'masks': np.ascontiguousarray(
+                    f['masks'][:].reshape(-1, H * W)),
+                'smasks': np.ascontiguousarray(
+                    f['sampling_masks'][:].reshape(-1, H * W)),
+                'bgs': (np.ascontiguousarray(self.bgs) if self.has_bg
+                        else np.zeros((0, H * W, 3), np.uint8)),
+            }
+        return self._super_ops
+
     def _get_item_native(self, idx, c2w, focal, center):
         """C++ inner loop: sample + ray/pixel gathers in one pass.
 

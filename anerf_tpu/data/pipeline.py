@@ -88,6 +88,102 @@ def assemble_batch(dataset, img_idxs: np.ndarray) -> Dict[str, np.ndarray]:
     return batch
 
 
+def assemble_super_batch(dataset, idx_lists, ops,
+                         n_threads: int = 4) -> Dict[str, np.ndarray]:
+    """Whole-dispatch batch assembly through the native extension: ONE
+    GIL-free multithreaded C++ call packs the ray/pixel blocks of all
+    stack*n_images items straight into the stacked train-step layout
+    (replacing per-item get_item + per-key concatenate/stack — the
+    measured e2e loader bottleneck). Pose/camera metadata stays in
+    numpy: bulk fancy-indexed gathers over the in-memory tables.
+
+    Bit-compatible with the per-item native path: the per-item seed
+    stream and the in-C++ sampling/gather logic are identical
+    (tests/test_pipeline.py::test_super_batch_matches_per_item).
+    """
+    fs = dataset._native
+    K, I = len(idx_lists), len(idx_lists[0])
+    S = dataset.N_samples
+    q_idxs = np.concatenate(idx_lists)
+    M = K * I
+    H, W = dataset.HW
+
+    img_idxs = np.empty((M,), np.int64)
+    dirs_idxs = np.empty((M,), np.int64)
+    bg_rows = np.full((M,), -1, np.int64)
+    c2ws = np.empty((M, 16), np.float32)
+    focals = np.empty((M, 2), np.float32)
+    cam_idxs = np.empty((M,), np.int32)
+    kp_qidx = np.empty((M,), np.int32)
+    kp_rows = np.empty((M,), np.int64)
+    seeds = np.empty((M,), np.uint64)
+
+    dirs_rows: List[np.ndarray] = []
+    dirs_key_to_row: Dict = {}
+    with dataset._rng_lock:
+        for m in range(M):
+            # one scalar draw per item, in item order — the exact stream
+            # the per-item path consumes
+            seeds[m] = dataset.rng.integers(0, 2 ** 63 - 1)
+    for m in range(M):
+        q = int(q_idxs[m])
+        idx = dataset._idx_map[q] if dataset._idx_map is not None else q
+        c2w, focal, center, cam_i = dataset.get_camera_data(
+            idx, q, S)
+        kp_real, kp_i = dataset.get_kp_idx(idx, q)
+        img_idxs[m] = idx
+        c2ws[m] = np.ascontiguousarray(c2w, np.float32).reshape(16)
+        f = np.asarray(focal, np.float32).reshape(-1)
+        focals[m, 0] = f[0]
+        focals[m, 1] = f[1] if f.size > 1 else f[0]
+        cam_idxs[m] = cam_i
+        kp_qidx[m] = kp_i
+        kp_rows[m] = kp_real
+        if dataset.has_bg:
+            bg_rows[m] = dataset.bg_idxs[idx]
+        key = None if center is None else (float(center[0]),
+                                           float(center[1]))
+        row = dirs_key_to_row.get(key)
+        if row is None:
+            row = len(dirs_rows)
+            dirs_key_to_row[key] = row
+            dirs_rows.append(dataset._shifted_dirs(center))
+        dirs_idxs[m] = row
+
+    dirs = (dirs_rows[0][None] if len(dirs_rows) == 1
+            else np.stack(dirs_rows))
+    rays = np.empty((M * S, 11), np.float32)
+    target = np.empty((M * S, 3), np.float32)
+    fg = np.empty((M * S, 1), np.float32)
+    bg = np.empty((M * S, 3), np.float32)
+    fs.assemble_super_batch(
+        ops['imgs'], ops['masks'], ops['smasks'], ops['bgs'],
+        np.ascontiguousarray(dirs, np.float32),
+        img_idxs, dirs_idxs, bg_rows, c2ws, focals, seeds,
+        rays, target, fg, bg, S, H * W, int(dataset.mask_img), n_threads)
+
+    R = I * S
+    batch = {
+        'rays': rays.reshape(K, R, 11),
+        'target_s': target.reshape(K, R, 3),
+        'fgs': fg.reshape(K, R, 1),
+        'bgs': bg.reshape(K, R, 3),
+        'cam_idxs': np.repeat(cam_idxs, S).reshape(K, R),
+        'pose_idx': np.broadcast_to(
+            np.repeat(np.arange(I, dtype=np.int32), S), (K, R)).copy(),
+        'kp_idxs': kp_qidx.reshape(K, I),
+        'kp3d': dataset.kp3d[kp_rows].astype(np.float32).reshape(
+            K, I, *dataset.kp3d.shape[1:]),
+        'bones': dataset.bones[kp_rows].astype(np.float32).reshape(
+            K, I, *dataset.bones.shape[1:]),
+        'skts': dataset.skts[kp_rows].astype(np.float32).reshape(
+            K, I, *dataset.skts.shape[1:]),
+        'cyls': dataset.cyls[kp_rows].astype(np.float32).reshape(
+            K, I, *dataset.cyls.shape[1:]),
+    }
+    return batch
+
+
 class BatchLoader:
     """Iterator of ready batches fed by a prefetching thread pool.
 
@@ -100,7 +196,7 @@ class BatchLoader:
 
     def __init__(self, dataset, n_images: int, prefetch: int = 6,
                  seed: int = 0, num_workers: int = 2,
-                 stack: int = 1, stack_fn=None):
+                 stack: int = 1, stack_fn=None, native_super: bool = True):
         self.dataset = dataset
         self.sampler = ImagePermutationSampler(len(dataset), n_images, seed)
         self.prefetch = prefetch
@@ -110,20 +206,31 @@ class BatchLoader:
         # (the numpy stack of K batches was a measured main-thread cost)
         self.stack = max(1, stack)
         self.stack_fn = stack_fn
+        # whole-dispatch C++ assembly (one GIL-free call per super-batch);
+        # falls back to the per-item path when the dataset doesn't support
+        # it (Concat/temporal wrappers, patch/NMS sampling, giant pixel
+        # tables that shouldn't live in RAM)
+        self._super_ops = None
+        if native_super and hasattr(dataset, 'super_operands'):
+            self._super_ops = dataset.super_operands()
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._sampler_lock = threading.Lock()
 
     def _make(self):
-        if self.stack == 1:
-            with self._sampler_lock:
-                idxs = self.sampler.next_batch()
-            return assemble_batch(self.dataset, idxs)
         with self._sampler_lock:
             # one lock hold for the whole super-batch keeps the sampler's
             # once-per-epoch coverage contiguous per dispatch
             idx_list = [self.sampler.next_batch() for _ in range(self.stack)]
+        if self._super_ops is not None:
+            batch = assemble_super_batch(self.dataset, idx_list,
+                                         self._super_ops)
+            if self.stack == 1:
+                batch = {k: v[0] for k, v in batch.items()}
+            return batch
+        if self.stack == 1:
+            return assemble_batch(self.dataset, idx_list[0])
         batches = [assemble_batch(self.dataset, i) for i in idx_list]
         return self.stack_fn(batches)
 

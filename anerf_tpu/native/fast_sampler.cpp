@@ -21,9 +21,12 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -173,6 +176,216 @@ PyObject* gather_pixels(PyObject*, PyObject* args) {
       static_cast<Py_ssize_t>(out.size() * sizeof(float)));
 }
 
+// assemble_super_batch --------------------------------------------------
+//
+// Whole-dispatch batch assembly in one GIL-free call: for each of the
+// M = stack*n_images items, mask-restricted pixel sampling (identical
+// stream to sample_mask_pixels given the same per-item seed), ray
+// assembly from a precomputed direction mesh, and pixel/fg/bg gathers,
+// written directly into the caller's pre-allocated stacked output slabs.
+// Replaces ~M Python get_item calls + per-key np.concatenate/np.stack
+// per dispatch (the measured e2e loader bottleneck; the reference's
+// analogue is the DataLoader worker pool + collate,
+// core/load_data.py:78-80, core/dataset.py:813-820). Internally
+// multithreaded over items; the GIL is released for the whole call.
+//
+// Item operands (length M, C-contiguous):
+//   img_idxs i64; dirs_idxs i64 (row into dirs); bg_rows i64 (-1 = none);
+//   c2ws f32 (M,16) row-major 4x4; focals f32 (M,2); seeds u64.
+// Table operands: imgs u8 (N,HW,3); masks u8 (N,HW); smasks u8 (N,HW);
+//   bgs u8 (B,HW,3) or 0-len; dirs f32 (D,HW,3).
+// Outputs (writable, pre-allocated):
+//   rays f32 (M*S, 11) = [o(3) d(3) near=0 far=1 viewdir(3)];
+//   target f32 (M*S, 3); fg f32 (M*S, 1); bg f32 (M*S, 3).
+
+struct SuperArgs {
+  const uint8_t *imgs, *masks, *smasks, *bgs;
+  const float *dirs;
+  const int64_t *img_idxs, *dirs_idxs, *bg_rows;
+  const float *c2ws, *focals;
+  const uint64_t *seeds;
+  float *rays, *target, *fg, *bg;
+  Py_ssize_t M, S, HW;
+  int mask_img;
+};
+
+void assemble_item(const SuperArgs& a, Py_ssize_t it,
+                   std::vector<int64_t>* valid_scratch,
+                   std::vector<int64_t>* out_scratch) {
+  const Py_ssize_t S = a.S, HW = a.HW;
+  const uint8_t* sm = a.smasks + a.img_idxs[it] * HW;
+
+  // --- pixel sampling: identical to sample_mask_pixels(sm, S, seed) ---
+  std::vector<int64_t>& valid = *valid_scratch;
+  valid.clear();
+  for (Py_ssize_t i = 0; i < HW; ++i) {
+    if (sm[i] > 0) valid.push_back(i);
+  }
+  std::mt19937_64 rng(a.seeds[it]);
+  if (valid.empty()) {
+    for (Py_ssize_t i = 0; i < HW; ++i) valid.push_back(i);
+  }
+  const size_t nv = valid.size();
+  std::vector<int64_t>& sel = *out_scratch;
+  sel.resize(static_cast<size_t>(S));
+  if (static_cast<size_t>(S) <= nv) {
+    for (Py_ssize_t i = 0; i < S; ++i) {
+      std::uniform_int_distribution<size_t> d(i, nv - 1);
+      std::swap(valid[i], valid[d(rng)]);
+      sel[i] = valid[i];
+    }
+  } else {
+    std::uniform_int_distribution<size_t> d(0, nv - 1);
+    for (Py_ssize_t i = 0; i < S; ++i) sel[i] = valid[d(rng)];
+  }
+  std::sort(sel.begin(), sel.end());
+
+  // --- rays + viewdirs ---
+  const float* C = a.c2ws + it * 16;
+  const float* D = a.dirs + a.dirs_idxs[it] * HW * 3;
+  const float fx = a.focals[it * 2], fy = a.focals[it * 2 + 1];
+  const float inv_fx = 1.0f / fx, inv_fy = 1.0f / fy;
+  const float ox = C[3], oy = C[7], oz = C[11];
+  const uint8_t* img = a.imgs + a.img_idxs[it] * HW * 3;
+  const uint8_t* msk = a.masks + a.img_idxs[it] * HW;
+  const uint8_t* bgr =
+      a.bg_rows[it] >= 0 ? a.bgs + a.bg_rows[it] * HW * 3 : nullptr;
+  constexpr float kInv = 1.0f / 255.0f;
+
+  for (Py_ssize_t s = 0; s < S; ++s) {
+    const int64_t pix = sel[s];
+    const float* d = D + pix * 3;
+    const float dx = d[0] * inv_fx, dy = d[1] * inv_fy, dz = d[2];
+    const float wx = C[0] * dx + C[1] * dy + C[2] * dz;
+    const float wy = C[4] * dx + C[5] * dy + C[6] * dz;
+    const float wz = C[8] * dx + C[9] * dy + C[10] * dz;
+    float* r = a.rays + (it * S + s) * 11;
+    r[0] = ox; r[1] = oy; r[2] = oz;
+    r[3] = wx; r[4] = wy; r[5] = wz;
+    r[6] = 0.0f; r[7] = 1.0f;
+    const float inv_n = 1.0f / std::sqrt(wx * wx + wy * wy + wz * wz);
+    r[8] = wx * inv_n; r[9] = wy * inv_n; r[10] = wz * inv_n;
+
+    const float fgv = static_cast<float>(msk[pix]);
+    a.fg[it * S + s] = fgv;
+    float* t = a.target + (it * S + s) * 3;
+    float* b = a.bg + (it * S + s) * 3;
+    const uint8_t* p = img + pix * 3;
+    if (bgr != nullptr) {
+      const uint8_t* q = bgr + pix * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float bv = static_cast<float>(q[c]) * kInv;
+        float iv = static_cast<float>(p[c]) * kInv;
+        if (a.mask_img) iv = iv * fgv + (1.0f - fgv) * bv;
+        t[c] = iv;
+        b[c] = bv;
+      }
+    } else {
+      for (int c = 0; c < 3; ++c) {
+        t[c] = static_cast<float>(p[c]) * kInv;
+        b[c] = 1.0f;
+      }
+    }
+  }
+}
+
+PyObject* assemble_super_batch(PyObject*, PyObject* args) {
+  PyObject *imgs_o, *masks_o, *smasks_o, *bgs_o, *dirs_o;
+  PyObject *img_idxs_o, *dirs_idxs_o, *bg_rows_o, *c2ws_o, *focals_o,
+      *seeds_o;
+  PyObject *rays_o, *target_o, *fg_o, *bg_o;
+  Py_ssize_t S, HW;
+  int mask_img, n_threads;
+  if (!PyArg_ParseTuple(args, "OOOOOOOOOOOOOOOnnii", &imgs_o, &masks_o,
+                        &smasks_o, &bgs_o, &dirs_o, &img_idxs_o,
+                        &dirs_idxs_o, &bg_rows_o, &c2ws_o, &focals_o,
+                        &seeds_o, &rays_o, &target_o, &fg_o, &bg_o, &S, &HW,
+                        &mask_img, &n_threads)) {
+    return nullptr;
+  }
+  BufGuard imgs, masks, smasks, bgs, dirs, img_idxs, dirs_idxs, bg_rows,
+      c2ws, focals, seeds;
+  if (!get_buffer(imgs_o, &imgs, "imgs")) return nullptr;
+  if (!get_buffer(masks_o, &masks, "masks")) return nullptr;
+  if (!get_buffer(smasks_o, &smasks, "smasks")) return nullptr;
+  if (!get_buffer(bgs_o, &bgs, "bgs")) return nullptr;
+  if (!get_buffer(dirs_o, &dirs, "dirs")) return nullptr;
+  if (!get_buffer(img_idxs_o, &img_idxs, "img_idxs")) return nullptr;
+  if (!get_buffer(dirs_idxs_o, &dirs_idxs, "dirs_idxs")) return nullptr;
+  if (!get_buffer(bg_rows_o, &bg_rows, "bg_rows")) return nullptr;
+  if (!get_buffer(c2ws_o, &c2ws, "c2ws")) return nullptr;
+  if (!get_buffer(focals_o, &focals, "focals")) return nullptr;
+  if (!get_buffer(seeds_o, &seeds, "seeds")) return nullptr;
+
+  Py_buffer rays_b{}, target_b{}, fg_b{}, bg_b{};
+  if (PyObject_GetBuffer(rays_o, &rays_b,
+                         PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) != 0 ||
+      PyObject_GetBuffer(target_o, &target_b,
+                         PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) != 0 ||
+      PyObject_GetBuffer(fg_o, &fg_b,
+                         PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) != 0 ||
+      PyObject_GetBuffer(bg_o, &bg_b,
+                         PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) != 0) {
+    PyErr_SetString(PyExc_TypeError, "outputs must be writable contiguous");
+    if (rays_b.obj) PyBuffer_Release(&rays_b);
+    if (target_b.obj) PyBuffer_Release(&target_b);
+    if (fg_b.obj) PyBuffer_Release(&fg_b);
+    return nullptr;
+  }
+
+  SuperArgs a;
+  a.imgs = static_cast<const uint8_t*>(imgs.view.buf);
+  a.masks = static_cast<const uint8_t*>(masks.view.buf);
+  a.smasks = static_cast<const uint8_t*>(smasks.view.buf);
+  a.bgs = static_cast<const uint8_t*>(bgs.view.buf);
+  a.dirs = static_cast<const float*>(dirs.view.buf);
+  a.img_idxs = static_cast<const int64_t*>(img_idxs.view.buf);
+  a.dirs_idxs = static_cast<const int64_t*>(dirs_idxs.view.buf);
+  a.bg_rows = static_cast<const int64_t*>(bg_rows.view.buf);
+  a.c2ws = static_cast<const float*>(c2ws.view.buf);
+  a.focals = static_cast<const float*>(focals.view.buf);
+  a.seeds = static_cast<const uint64_t*>(seeds.view.buf);
+  a.rays = static_cast<float*>(rays_b.buf);
+  a.target = static_cast<float*>(target_b.buf);
+  a.fg = static_cast<float*>(fg_b.buf);
+  a.bg = static_cast<float*>(bg_b.buf);
+  a.M = img_idxs.view.len / sizeof(int64_t);
+  a.S = S;
+  a.HW = HW;
+  a.mask_img = mask_img;
+
+  Py_BEGIN_ALLOW_THREADS;
+  const int nt = std::max(1, std::min<int>(n_threads, a.M));
+  if (nt == 1) {
+    std::vector<int64_t> valid, sel;
+    for (Py_ssize_t it = 0; it < a.M; ++it) {
+      assemble_item(a, it, &valid, &sel);
+    }
+  } else {
+    std::vector<std::thread> pool;
+    std::atomic<Py_ssize_t> next(0);
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      pool.emplace_back([&a, &next]() {
+        std::vector<int64_t> valid, sel;
+        for (;;) {
+          const Py_ssize_t it = next.fetch_add(1);
+          if (it >= a.M) break;
+          assemble_item(a, it, &valid, &sel);
+        }
+      });
+    }
+    for (auto& t : pool) t.join();
+  }
+  Py_END_ALLOW_THREADS;
+
+  PyBuffer_Release(&rays_b);
+  PyBuffer_Release(&target_b);
+  PyBuffer_Release(&fg_b);
+  PyBuffer_Release(&bg_b);
+  Py_RETURN_NONE;
+}
+
 PyMethodDef kMethods[] = {
     {"sample_mask_pixels", sample_mask_pixels, METH_VARARGS,
      "sorted sample w/o replacement of mask>0 indices"},
@@ -180,6 +393,8 @@ PyMethodDef kMethods[] = {
      "gather pixel dirs -> world rays"},
     {"gather_pixels", gather_pixels, METH_VARARGS,
      "gather uint8 pixels -> f32/255"},
+    {"assemble_super_batch", assemble_super_batch, METH_VARARGS,
+     "whole-dispatch batch assembly, multithreaded, GIL-free"},
     {nullptr, nullptr, 0, nullptr},
 };
 

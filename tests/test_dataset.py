@@ -209,3 +209,55 @@ def test_clutter_fixture_loads(tmp_path):
     ds = SurrealDataset(p, N_samples=16, split='train')
     item = ds.get_item(0)
     assert item['rays_o'].shape == (16, 3)
+
+
+def test_super_batch_matches_per_item(h5_path):
+    """assemble_super_batch (one GIL-free C++ call per dispatch) is
+    bit-compatible with the per-item native path: identical seed stream,
+    identical sampling/gather logic, so every stacked leaf matches the
+    legacy stack_fn output (viewdirs to 1-ulp float tolerance)."""
+    from anerf_tpu.data.pipeline import assemble_super_batch
+    from anerf_tpu.train.trainer import stack_batches
+
+    K, I, S = 3, 4, 16
+    ds_a = SurrealDataset(h5_path, N_samples=S, split='train', seed=7)
+    ds_b = SurrealDataset(h5_path, N_samples=S, split='train', seed=7)
+    ops = ds_b.super_operands()
+    assert ops is not None, 'native super assembler unavailable'
+
+    sampler = ImagePermutationSampler(len(ds_a), I, seed=0)
+    idx_lists = [sampler.next_batch() for _ in range(K)]
+
+    legacy = stack_batches([assemble_batch(ds_a, i) for i in idx_lists])
+    got = assemble_super_batch(ds_b, idx_lists, ops)
+
+    assert set(got) == set(legacy)
+    for k in got:
+        a, b = np.asarray(legacy[k]), np.asarray(got[k])
+        assert a.shape == b.shape, k
+        assert a.dtype == b.dtype, k
+        if k == 'rays':
+            # cols 0:8 exact; viewdirs (8:11) normalize in C vs numpy
+            np.testing.assert_array_equal(a[..., :8], b[..., :8])
+            np.testing.assert_allclose(a[..., 8:], b[..., 8:],
+                                       rtol=2e-7, atol=2e-7)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+def test_loader_uses_super_path(h5_path):
+    """BatchLoader routes through the native super assembler and the
+    contract matches the stacked legacy layout."""
+    ds = SurrealDataset(h5_path, N_samples=8, split='train', seed=3)
+    loader = BatchLoader(ds, n_images=2, prefetch=2, num_workers=1,
+                         stack=4, stack_fn=None)
+    assert loader._super_ops is not None
+    b = loader._make()
+    assert b['rays'].shape == (4, 16, 11)
+    assert b['kp3d'].shape == (4, 2, 24, 3)
+    assert b['pose_idx'].shape == (4, 16)
+    # unstacked (stack=1) squeezes the leading axis
+    loader1 = BatchLoader(ds, n_images=2, prefetch=2, num_workers=1,
+                          stack=1)
+    b1 = loader1._make()
+    assert b1['rays'].shape == (16, 11)
