@@ -18,11 +18,13 @@ import numpy as np
 
 from ..ops.cylinder import cylinder_to_box_2d, get_kp_bounding_cylinder
 from ..ops.rays import nerf_c2w_to_extrinsic
+from ..parallel.mesh import pad_to_multiple
 from .raycaster import RenderConfig, render_rays
 
 
 @functools.lru_cache(maxsize=8)
-def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
+def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool,
+                   mesh=None):
     """Jitted renderer: generates the culled-box rays ON DEVICE and scans
     all buckets of one pose in ONE dispatch (per-dispatch latency and
     host->device bandwidth dominate on remote-attached chips; the reference
@@ -32,6 +34,14 @@ def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
     Per pose only the camera (4x4), intrinsics scalars, the 2D box, and the
     pose tables cross the host boundary. The bucket count is static; pose
     ray counts pad to power-of-two bucket counts to bound recompiles.
+
+    mesh: optional jax.sharding.Mesh — each bucket's ray axis is sharded
+    across the mesh's `data` axis. render_rays has no cross-ray ops, so
+    the SPMD partitioner emits zero collectives: render scales linearly
+    in chips while the serial bucket loop still bounds per-chip memory
+    (the reference's multi-GPU render is nn.DataParallel scatter/gather
+    per chunk, core/raycasters.py:157 + trainer.py:64-79). Requires
+    `chunk` divisible by the mesh size.
     """
     test_cfg = cfg.test_mode()
 
@@ -87,6 +97,12 @@ def make_render_fn(cfg: RenderConfig, use_framecode_idx: bool):
             return {k_: ret[k_] for k_ in ('rgb_map', 'disp_map', 'acc_map')}
 
         rays_b = rays.reshape(n_buckets, chunk, rays.shape[-1])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS
+            rays_b = jax.lax.with_sharding_constraint(
+                rays_b, NamedSharding(mesh, PartitionSpec(
+                    None, DATA_AXIS, None)))
         out = jax.lax.map(one, rays_b)
         return {k_: v.reshape((R,) + v.shape[2:]) for k_, v in out.items()}
     return fn
@@ -151,28 +167,43 @@ def render_path(params, cfg: RenderConfig,
                 ext_scale: float = 0.001,
                 white_bkgd: bool = True,
                 use_framecode_idx: bool = False,
+                mesh=None,
                 verbose: bool = False) -> Dict[str, np.ndarray]:
     """Render a sequence of poses/cameras into full images.
 
     hwf: (H, W, focals) with H/W scalars or per-frame arrays.
+    mesh: optional data mesh — ray buckets are sharded across its chips
+    (see make_render_fn).
     Returns dict with 'rgbs', 'disps', 'accs', 'bboxes' stacked (N, H, W, .).
     """
     H_all, W_all, focals = hwf
     n_poses = len(c2ws)
+    if mesh is not None and chunk % mesh.size != 0:
+        # the sharded bucket splits its ray axis over the mesh
+        chunk = pad_to_multiple(chunk, mesh.size)
 
     if cyls is None:
         cyls = get_kp_bounding_cylinder(
             kps, ext_scale=ext_scale, extend_mm=250,
             top_expand_ratio=1.60, bot_expand_ratio=1.10, head='-y')
 
-    render_fn = make_render_fn(cfg, use_framecode_idx)
+    render_fn = make_render_fn(cfg, use_framecode_idx, mesh)
+    if mesh is not None:
+        # params may be committed to a single device (e.g. fresh out of a
+        # single-chip train jit); the in-graph sharding constraint spans
+        # the whole mesh, so replicate them onto it explicitly
+        from ..parallel.mesh import replicated
+        params = jax.device_put(params, replicated(mesh))
+        _put = functools.partial(jax.device_put, device=replicated(mesh))
+    else:
+        _put = jax.device_put
     # one upload for ALL pose tables; poses index into them on device
     tables = {
-        'kp3d': jax.device_put(np.asarray(kps, np.float32)),
-        'skts': jax.device_put(np.asarray(skts, np.float32)),
+        'kp3d': _put(np.asarray(kps, np.float32)),
+        'skts': _put(np.asarray(skts, np.float32)),
         'bones': (None if bones is None
-                  else jax.device_put(np.asarray(bones, np.float32))),
-        'cyls': jax.device_put(np.asarray(cyls, np.float32)),
+                  else _put(np.asarray(bones, np.float32))),
+        'cyls': _put(np.asarray(cyls, np.float32)),
     }
     # phase 1: dispatch every pose (JAX queues asynchronously); keep a
     # bounded in-flight window so outputs don't pile up in HBM

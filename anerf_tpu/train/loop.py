@@ -214,7 +214,7 @@ def run_validation(ctx: TrainContext, step: int,
         centers=None if rd.get('center') is None else rd['center'][:n],
         bgs=rd.get('bgs'), bg_idxs=rd.get('bg_idxs'),
         tau=float(tau), chunk=args.chunk, ext_scale=args.ext_scale,
-        use_framecode_idx=args.opt_framecode)
+        use_framecode_idx=args.opt_framecode, mesh=ctx.mesh)
 
     metrics = evaluate_metric_arrays(out['rgbs'], rd['imgs'][:n],
                                      fgs=rd['fgs'][:n])

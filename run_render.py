@@ -192,12 +192,19 @@ def run_render(args):
     if args.selected_framecode is not None:
         cam_idxs = np.full_like(cam_idxs, args.selected_framecode)
 
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from anerf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     out = render_path(
         params, cfg, data['c2ws'], (H, W, data['focals']),
         data['kp3d'], data['skts'], data.get('bones'),
         cam_idxs=cam_idxs, tau=tau, chunk=nerf_args.chunk,
         ext_scale=nerf_args.ext_scale, white_bkgd=True,
-        use_framecode_idx=nerf_args.opt_framecode, verbose=True)
+        use_framecode_idx=nerf_args.opt_framecode, mesh=mesh,
+        verbose=True)
 
     outdir = os.path.join(args.outputdir, args.dataset, args.runname)
     os.makedirs(os.path.join(outdir, 'image'), exist_ok=True)
