@@ -89,14 +89,40 @@ def make_bkgd_segmenter(bkgd: np.ndarray, thresh: float = 25.0,
     return segment
 
 
+def make_torch_segmenter(model, person_class: int = 15) -> Callable:
+    """Wrap a torchvision-style segmentation module into an
+    image -> (H, W) float person-mask callable.
+
+    `model` is any callable taking a (1, 3, H, W) ImageNet-normalized
+    tensor and returning {'out': (1, C, H, W) logits} — the torchvision
+    deeplabv3 contract (replacing the reference's TF1 frozen-graph
+    DeepLabModel.run, core/process_mask.py:105-129). Kept injectable so
+    the full inference+dilation+packing path is testable without
+    downloading weights.
+    """
+    import torch
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+
+    def segment(img: np.ndarray) -> np.ndarray:
+        x = torch.tensor(img.astype(np.float32) / 255.).permute(2, 0, 1)
+        x = (x - mean) / std
+        with torch.no_grad():
+            out = model(x[None])['out'][0]
+        # class 15 = person in COCO/VOC labeling
+        return (out.argmax(0) == person_class).float().numpy()
+    return segment
+
+
 def get_segmenter(kind: str = 'auto', bkgd: Optional[np.ndarray] = None,
-                  **kwargs) -> Optional[Callable]:
+                  model=None, **kwargs) -> Optional[Callable]:
     """Return an image -> (H, W) float person-mask callable, or None.
 
     'bkgd': background-subtraction (make_bkgd_segmenter) — the only kind
     that works with zero downloads; requires a background plate.
     'torchvision': deeplabv3_resnet101 (requires torchvision; absent in
-    minimal installs). The reference's TF1 frozen graph is not supported.
+    minimal installs), or any injected `model` with the same contract.
+    The reference's TF1 frozen graph is not supported.
     'auto': bkgd when a plate is given, else torchvision, else None.
     """
     if kind in ('auto', 'bkgd') and bkgd is not None:
@@ -105,23 +131,13 @@ def get_segmenter(kind: str = 'auto', bkgd: Optional[np.ndarray] = None,
         raise ValueError("segmenter kind 'bkgd' requires a background "
                          "plate (bkgd=...)")
     if kind in ('auto', 'torchvision'):
+        if model is not None:
+            return make_torch_segmenter(model, **kwargs)
         try:
-            import torch
             import torchvision
             model = torchvision.models.segmentation.deeplabv3_resnet101(
                 weights='DEFAULT').eval()
-            mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
-            std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
-
-            def segment(img: np.ndarray) -> np.ndarray:
-                x = torch.tensor(img.astype(np.float32) / 255.).permute(
-                    2, 0, 1)
-                x = (x - mean) / std
-                with torch.no_grad():
-                    out = model(x[None])['out'][0]
-                # class 15 = person in COCO/VOC labeling
-                return (out.argmax(0) == 15).float().numpy()
-            return segment
+            return make_torch_segmenter(model, **kwargs)
         except ImportError:
             if kind == 'torchvision':
                 raise

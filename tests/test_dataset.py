@@ -151,6 +151,63 @@ def test_bkgd_segmenter_recovers_person_mask(tmp_path):
     assert (sampling >= masks).all()
 
 
+def test_torch_segmenter_stub_model_e2e(tmp_path):
+    """Model-segmenter branch (reference DeepLabModel + process_bbox_masks,
+    core/process_mask.py:83-226): inject a stub torchvision-contract model
+    ({'out': (1, C, H, W) logits}) so the normalize -> infer -> argmax ->
+    bbox-crop -> dilate path runs without downloaded weights."""
+    import torch
+
+    from anerf_tpu.data.fixtures import make_synthetic_h5
+    from anerf_tpu.data.process_mask import get_segmenter, process_masks
+
+    data = make_synthetic_h5(str(tmp_path / 's.h5'), n_kps=2, n_cams=1,
+                             H=48, W=48)
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+
+    class StubDeepLab:
+        """Emits person logits wherever the pixel differs from the white
+        plate — undoing the ImageNet normalization make_torch_segmenter
+        applies, so the wrapping math is what's under test."""
+        def __call__(self, x):
+            img = x[0] * std + mean          # back to 0..1
+            fg = (img - 1.0).abs().max(0).values > 0.1
+            logits = torch.zeros((1, 21) + fg.shape)
+            logits[0, 15][fg] = 10.0
+            return {'out': logits}
+
+    seg = get_segmenter('torchvision', model=StubDeepLab())
+
+    # full-image inference
+    masks, sampling = process_masks(data['imgs'], seg)
+    inter = (masks & data['masks']).sum()
+    union = (masks | data['masks']).sum()
+    assert inter / union > 0.5, f'IoU {inter / union:.2f}'
+    assert (sampling >= masks).all()
+
+    # bbox-cropped inference (process_bbox_masks analog): outside-box
+    # pixels must stay background even though the stub marks them fg
+    n = len(data['imgs'])
+    bboxes = np.tile(np.array([8, 4, 40, 46], np.int64), (n, 1))
+    masks_b, _ = process_masks(data['imgs'], seg, bboxes=bboxes)
+    assert masks_b[:, :4].sum() == 0 and masks_b[:, 46:].sum() == 0
+    assert masks_b[:, :, :8].sum() == 0 and masks_b[:, :, 40:].sum() == 0
+    inside = masks_b[0, 4:46, 8:40, 0]
+    gt_inside = data['masks'][0, 4:46, 8:40, 0]
+    inter = (inside & gt_inside).sum()
+    union = (inside | gt_inside).sum()
+    assert inter / union > 0.5
+
+    # kind='torchvision' without a model and without torchvision raises
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            get_segmenter('torchvision')
+
+
 def test_batchloader_prestacked_superbatches(h5_path):
     """BatchLoader(stack=K) emits worker-stacked (K, ...) super-batches
     with the sampler's once-per-epoch coverage preserved."""
