@@ -410,7 +410,12 @@ def render_pts_density(params: Dict[str, Any], cfg: RenderConfig,
     net = params['fine'] if (use_fine and params.get('fine') is not None) \
         else params['coarse']
     h = forward_density(net, cfg.nerf, pts_in, cfg.dtype)
-    return _dense(net['alpha_linear'], h, cfg.dtype)
+    if 'alpha_linear' in net:
+        return _dense(net['alpha_linear'], h, cfg.dtype)
+    # use_viewdirs=False head: density is output_linear's last channel
+    # (the reference's density query assumes alpha_linear and would crash
+    # on such a model, core/raycasters.py:643)
+    return _dense(net['output_linear'], h, cfg.dtype)[..., 3:4]
 
 
 def render_mesh_density(params: Dict[str, Any], cfg: RenderConfig,

@@ -90,6 +90,71 @@ def render_mesh_image(verts: np.ndarray, faces: np.ndarray,
     return img.reshape(res, res, 3)
 
 
+def overlay_mesh_on_image(verts: np.ndarray, faces: np.ndarray,
+                          img: np.ndarray, extrinsic: np.ndarray,
+                          focal, center=None, alpha: float = 0.65,
+                          samples_per_edge: Optional[int] = None
+                          ) -> np.ndarray:
+    """Normal-shaded mesh composited over a camera image — the debug
+    overlay equivalent of the reference's pyrender SMPL renderer
+    (core/misc/renderer.py:7-83), driven by the extracted density mesh
+    instead of an SMPL body model.
+
+    img: (H, W, 3) float in [0, 1]; extrinsic: CV world-to-camera 4x4
+    (ops/rays.py:nerf_c2w_to_extrinsic); focal: scalar or (fx, fy).
+    Returns the composited (H, W, 3) image (alpha-blended where the mesh
+    projects, untouched elsewhere).
+    """
+    out = np.asarray(img, np.float32).copy()
+    if len(faces) == 0:
+        return out
+    H, W = out.shape[:2]
+    f = np.asarray(focal, np.float32).reshape(-1)
+    fx = float(f[0])
+    fy = float(f[1]) if f.size > 1 else fx
+    ox, oy = ((W * 0.5, H * 0.5) if center is None
+              else (float(center[0]), float(center[1])))
+
+    normals = compute_vertex_normals(verts, faces)
+    if samples_per_edge is None:
+        # screen-space footprint of the largest edge sets the density
+        vh = np.concatenate([verts, np.ones_like(verts[..., :1])], -1)
+        cam_v = vh @ extrinsic.T
+        z_v = np.maximum(cam_v[:, 2], 1e-6)
+        pix_v = np.stack([cam_v[:, 0] / z_v * fx, cam_v[:, 1] / z_v * fy],
+                         -1)
+        tri = pix_v[faces]
+        edge = np.linalg.norm(tri - tri[:, [1, 2, 0]], axis=-1).max()
+        samples_per_edge = int(np.clip(np.ceil(edge) + 1, 2, 24))
+
+    pts, nrm = _sample_faces(verts, normals, faces, samples_per_edge)
+    pts_h = np.concatenate([pts, np.ones_like(pts[..., :1])], -1)
+    cam = pts_h @ extrinsic.T
+    z = cam[:, 2]
+    ok = z > 1e-6
+    cam, nrm, z = cam[ok], nrm[ok], z[ok]
+    px = (cam[:, 0] / z * fx + ox).round().astype(np.int64)
+    py = (cam[:, 1] / z * fy + oy).round().astype(np.int64)
+    ok = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+    px, py, z, nrm = px[ok], py[ok], z[ok], nrm[ok]
+    if px.size == 0:
+        return out
+
+    color = nrm * 0.5 + 0.5
+    idx = py * W + px
+    # z-buffer: smallest camera depth wins (sort far-to-near; later
+    # writes overwrite)
+    order = np.argsort(-z)
+    idx, color = idx[order], color[order]
+    shade = np.full((H * W, 3), np.nan, np.float32)
+    shade[idx] = color
+    covered = np.isfinite(shade[..., 0])
+    flat = out.reshape(-1, 3)
+    flat[covered] = (alpha * shade[covered]
+                     + (1.0 - alpha) * flat[covered])
+    return flat.reshape(H, W, 3)
+
+
 def render_turntable(verts: np.ndarray, faces: np.ndarray,
                      step_deg: float = 4.0, res: int = 512,
                      normalize: bool = True) -> np.ndarray:

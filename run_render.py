@@ -35,6 +35,9 @@ def config_parser():
     p.add_argument('--fps', type=int, default=14)
     p.add_argument('--mesh_res', type=int, default=255)
     p.add_argument('--mesh_thres', type=float, default=10.0)
+    p.add_argument('--mesh_overlay', action='store_true',
+                   help='also composite the extracted mesh (normal-shaded) '
+                        'over the GT frame — SMPL-overlay debug equivalent')
     p.add_argument('--render_refined', action='store_true')
     p.add_argument('--subject_idx', type=int, default=0)
     p.add_argument('--selected_idxs', nargs='+', type=int, default=None)
@@ -132,6 +135,14 @@ def run_render(args):
     with h5py.File(data_h5, 'r', swmr=True) as f:
         img_shape = f['img_shape'][:]
     H_native, W_native = int(img_shape[1]), int(img_shape[2])
+
+    rtype = args.render_type
+    if rtype == 'mesh':
+        # meshes have no render resolution; overlays composite onto the
+        # natively-stored GT frames
+        return render_mesh_mode(args, cfg, params, src, mode_kwargs, tau,
+                                data_h5=data_h5, hw=(H_native, W_native))
+
     if args.render_res:
         assert len(args.render_res) == 2, 'render_res should be (H, W)'
         H, W = args.render_res
@@ -143,10 +154,6 @@ def run_render(args):
             * (float(H) / float(H_native)))
     else:
         H, W = H_native, W_native
-
-    rtype = args.render_type
-    if rtype == 'mesh':
-        return render_mesh_mode(args, cfg, params, src, mode_kwargs, tau)
 
     def build_retarget(src_, **kw):
         kw.pop('is_surreal', None)
@@ -280,9 +287,13 @@ def evaluate(args, out, data_h5, mode_kwargs, outdir, H, W):
     return metrics
 
 
-def render_mesh_mode(args, cfg, params, src, mode_kwargs, tau):
+def render_mesh_mode(args, cfg, params, src, mode_kwargs, tau,
+                     data_h5=None, hw=None):
     """Marching-tetrahedra mesh extraction (reference run_render.py:970-986
-    with PyMCubes replaced by utils/marching.py)."""
+    with PyMCubes replaced by utils/marching.py). With --mesh_overlay the
+    extracted mesh is also composited normal-shaded over the GT frame —
+    the debug-overlay substitute for the reference's pyrender SMPL
+    renderer (core/misc/renderer.py:7-83)."""
     import jax.numpy as jnp
 
     from anerf_tpu.ops.fk import get_smpl_l2ws_np
@@ -311,6 +322,25 @@ def render_mesh_mode(args, cfg, params, src, mode_kwargs, tau):
         path = os.path.join(outdir, f'mesh_{i:05d}.ply')
         save_ply(path, verts, faces)
         print(f'saved {path}: {len(verts)} verts, {len(faces)} faces')
+
+        if args.mesh_overlay:
+            import h5py
+            import imageio
+
+            from anerf_tpu.ops.rays import nerf_c2w_to_extrinsic
+            from anerf_tpu.utils.mesh_render import overlay_mesh_on_image
+
+            H, W = hw
+            with h5py.File(data_h5, 'r', swmr=True) as f:
+                gt = f['imgs'][int(i)].reshape(H, W, 3).astype(
+                    np.float32) / 255.
+            ext = nerf_c2w_to_extrinsic(np.asarray(src.c2ws[i], np.float32))
+            over = overlay_mesh_on_image(
+                verts, faces, gt, ext, src.focals_at(np.array([i]))[0])
+            opath = os.path.join(outdir, f'overlay_{i:05d}.png')
+            imageio.imwrite(opath, (np.clip(over, 0, 1) * 255).astype(
+                np.uint8))
+            print(f'saved {opath}')
 
 
 if __name__ == '__main__':

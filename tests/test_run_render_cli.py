@@ -39,7 +39,8 @@ def _render_args(tmp, **over):
                 ckptpath=os.path.join(str(tmp), 'cli', 'checkpoints'),
                 render_res=None, dataset='surreal', entry='female',
                 white_bkgd=True, render_type='bullet', save_gt=False,
-                fps=4, mesh_res=24, mesh_thres=5.0, render_refined=False,
+                fps=4, mesh_res=24, mesh_thres=5.0, mesh_overlay=False,
+                render_refined=False,
                 subject_idx=0, selected_idxs=[0], selected_framecode=None,
                 outputdir=os.path.join(str(tmp), 'render_out'),
                 runname='t', eval=False, no_save=False)
@@ -89,6 +90,25 @@ def test_render_mesh_cli(trained, monkeypatch):
     # density field of a near-untrained net may or may not cross threshold;
     # the pipeline must produce a valid (possibly empty) mesh
     assert verts.shape[1] == 3 and faces.shape[1] == 3
+
+
+def test_render_mesh_overlay_cli(trained, monkeypatch):
+    """--mesh_overlay writes a normal-shaded mesh composite over the GT
+    frame (the SMPL-overlay debug substitute)."""
+    import imageio
+
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='mesh', runname='mo',
+                        mesh_thres=0.0, mesh_overlay=True)
+    rr.run_render(args)
+    mesh_dir = os.path.join(str(tmp), 'render_out', 'surreal', 'mo',
+                            'meshes')
+    files = os.listdir(mesh_dir)
+    overlays = [f for f in files if f.startswith('overlay_')]
+    assert len(overlays) == 1, files
+    img = imageio.imread(os.path.join(mesh_dir, overlays[0]))
+    assert img.shape == (32, 32, 3)
 
 
 def test_run_validation_saves_images(trained):

@@ -22,6 +22,53 @@ def test_mesh_turntable_render():
     np.testing.assert_allclose(frames[0, 0, 0], 1.0)
 
 
+def test_mesh_overlay_on_image():
+    """overlay_mesh_on_image: perspective projection lands the mesh where
+    the camera says, alpha-blends only covered pixels, and the z-buffer
+    keeps the nearer surface."""
+    from anerf_tpu.utils.marching import marching_tetrahedra
+    from anerf_tpu.utils.mesh_render import overlay_mesh_on_image
+
+    n = 16
+    t = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(t, t, t, indexing='ij')
+    vol = 0.5 - np.sqrt(x ** 2 + y ** 2 + z ** 2)
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    verts = verts / (n - 1) * 2 - 1.0          # voxel -> [-1, 1] world
+
+    H = W = 64
+    # camera at z=-4 looking down +z (CV extrinsic = identity + offset):
+    # sphere of radius 0.5 at origin -> depth 4, half-angle atan(0.5/4)
+    ext = np.eye(4, dtype=np.float32)
+    ext[2, 3] = 4.0
+    focal = 80.0
+    img = np.full((H, W, 3), 0.2, np.float32)
+    out = overlay_mesh_on_image(verts, faces, img, ext, focal, alpha=0.5)
+
+    assert out.shape == (H, W, 3)
+    # projected radius = 0.5 / 4 * 80 = 10 px around the center
+    cy, cx = H // 2, W // 2
+    assert (out[cy, cx] != img[cy, cx]).any(), 'center must be covered'
+    np.testing.assert_allclose(out[cy, cx + 16], img[cy, cx + 16],
+                               err_msg='outside the silhouette untouched')
+    np.testing.assert_allclose(out[0, 0], img[0, 0])
+    # alpha blending: covered pixels = 0.5*shade + 0.5*img, shade in [0,1]
+    covered = np.abs(out - img).max(-1) > 0
+    assert covered.sum() > 200
+    assert (out[covered] >= 0.1 - 1e-6).all() and \
+        (out[covered] <= 0.6 + 1e-6).all()
+    # z-buffer: the visible front of the sphere faces the camera (-z
+    # normals -> blue channel of normal-as-color < 0.5 under 0.5 alpha)
+    center_shade = (out[cy, cx] - 0.5 * img[cy, cx]) / 0.5
+    assert center_shade[2] < 0.5, \
+        f'front surface should face camera, shade={center_shade}'
+
+    # empty mesh: image unchanged
+    out2 = overlay_mesh_on_image(np.zeros((0, 3)), np.zeros((0, 3), int),
+                                 img, ext, focal)
+    np.testing.assert_array_equal(out2, img)
+
+
 def test_psnr_ssim_sanity(rng):
     from anerf_tpu.utils.metrics import psnr, ssim
     img = rng.uniform(size=(64, 64, 3))
