@@ -167,6 +167,9 @@ class TrainConfig:
 
     # TPU-native additions (not in the reference)
     mesh_shape: Optional[int] = None   # data-parallel devices; None = all
+    # persistent XLA compilation cache (first compile is 20-40s; re-runs
+    # with the same config then start instantly). '' / 'none' disables.
+    xla_cache_dir: Optional[str] = '~/.cache/anerf_tpu/xla'
     compute_dtype: str = 'bfloat16'    # MLP matmul dtype
     fast_grads: bool = False           # bf16 cotangents/PE: +18% step speed,
                                        # ~2 dB background-PSNR cost (PERF.md)

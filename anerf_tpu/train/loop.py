@@ -73,6 +73,9 @@ def setup(args: TrainConfig, dataset=None) -> TrainContext:
     exp_dir = os.path.join(args.basedir, args.expname)
     os.makedirs(exp_dir, exist_ok=True)
 
+    from ..utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache(args.xla_cache_dir)
+
     if args.opt_pose and 0.0 < args.cull_ratio < 0.5:
         print('note: --opt_pose with deep culling measured EQUAL to the '
               'no-cull control under the strided in-window selector '

@@ -56,6 +56,8 @@ def load_model(args, nerf_args):
     from anerf_tpu.render.factory import (build_render_config,
                                           init_render_params)
     from anerf_tpu.skeleton import SMPLSkeleton
+    from anerf_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache(getattr(nerf_args, 'xla_cache_dir', None))
 
     tau = 2000.0
     if args.ckptpath.endswith('.tar'):

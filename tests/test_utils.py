@@ -22,6 +22,28 @@ def test_mesh_turntable_render():
     np.testing.assert_allclose(frames[0, 0, 0], 1.0)
 
 
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """compile_cache.enable resolves + creates the dir, is idempotent,
+    and respects an explicit env override."""
+    import anerf_tpu.utils.compile_cache as cc
+
+    monkeypatch.setattr(cc, '_enabled', None)
+    monkeypatch.delenv('JAX_COMPILATION_CACHE_DIR', raising=False)
+    assert cc.enable(None) is None and cc.enable('') is None
+
+    # config-path caching is gated to accelerator backends; under the
+    # test suite's forced-CPU platform it must decline
+    p = str(tmp_path / 'xla')
+    assert cc.enable(p) is None
+
+    # the env var forces it on any backend and wins over the config path
+    monkeypatch.setenv('JAX_COMPILATION_CACHE_DIR', str(tmp_path / 'env'))
+    got = cc.enable(p)
+    assert got == str(tmp_path / 'env') and os.path.isdir(got)
+    # idempotent: later calls (even with other paths) keep the first
+    assert cc.enable(str(tmp_path / 'other')) == got
+
+
 def test_mesh_overlay_on_image():
     """overlay_mesh_on_image: perspective projection lands the mesh where
     the camera says, alpha-blends only covered pixels, and the z-buffer
