@@ -71,10 +71,19 @@ def sample_pdf(key: Optional[jax.Array], bins: jnp.ndarray,
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
     from .gather import take_rows
-    cdf_below = take_rows(cdf, below)
-    cdf_above = take_rows(cdf, above)
-    bins_below = take_rows(bins, jnp.minimum(below, bins.shape[-1] - 1))
-    bins_above = take_rows(bins, jnp.minimum(above, bins.shape[-1] - 1))
+    # ONE one-hot gather for all four lookups: bins padded with their
+    # last column up to cdf's width (so clamped indices read the same
+    # value as the explicit min() did), cdf and padded bins stacked on a
+    # feature axis, below/above indices concatenated on the row axis.
+    # Exact (each output is one product).
+    pad = cdf.shape[-1] - bins.shape[-1]
+    binsp = bins if pad == 0 else jnp.concatenate(
+        [bins] + [bins[..., -1:]] * pad, -1)
+    data = jnp.stack([cdf, binsp], -1)
+    got = take_rows(data, jnp.concatenate([below, above], -1))
+    (cdf_below, bins_below), (cdf_above, bins_above) = (
+        (got[:, :n_samples, 0], got[:, :n_samples, 1]),
+        (got[:, n_samples:, 0], got[:, n_samples:, 1]))
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
