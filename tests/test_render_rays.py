@@ -66,6 +66,23 @@ def test_mesh_density_grid(rng):
     assert np.isfinite(np.asarray(sigma)).all()
 
 
+def test_mesh_density_no_viewdirs(rng):
+    """Density grid query on a use_viewdirs=False model (output_linear
+    head): the reference's query assumes alpha_linear and would crash
+    (core/raycasters.py:643); ours reads output_linear's sigma channel."""
+    from helpers import build_tiny
+
+    args, cfg, params, pose = build_tiny(rng, use_viewdirs=False,
+                                         cutoff_viewdir=False)
+    assert 'alpha_linear' not in params['coarse']
+    sigma = render_mesh_density(
+        params, cfg, jnp.asarray(pose['kp3d'][:1]),
+        jnp.asarray(pose['skts'][:1]), jnp.asarray(pose['bones'][:1]),
+        radius=0.5, res=8)
+    assert sigma.shape == (9, 9, 9)
+    assert np.isfinite(np.asarray(sigma)).all()
+
+
 def test_cull_samples_full_budget_is_identity(rng):
     """n_keep == n_samples must reproduce the un-culled render exactly."""
     import dataclasses
