@@ -173,18 +173,23 @@ class TrainConfig:
     compute_dtype: str = 'bfloat16'    # MLP matmul dtype
     fast_grads: bool = False           # bf16 cotangents/PE: +18% step speed,
                                        # ~2 dB background-PSNR cost (PERF.md)
-    # fine-grained fast-grads experiment knobs (round-3 quality recovery,
+    # fine-grained fast-grads knobs (round-3 quality-recovery experiment,
     # VERDICT r2 weak #6). None = follow fast_grads; explicit True/False
-    # overrides the corresponding half:
+    # overrides the corresponding half. SWEEP VERDICT (PERF.md round 3):
+    # no combination recovers the no-cull fast-grads background quality —
+    # even hifi_pe+fast_mlp+alpha_f32 ("fastv2", forward-bit-identical PE
+    # + f32 density-head cotangents) loses ~2.4 dB global on the limbs
+    # fixture. The cost lives in bf16 MLP activation cotangents
+    # generally, so the default keeps f32; under deep culling
+    # (cull_ratio <= 0.25) all fast flavors measured quality-equal.
     fast_pe: Optional[bool] = None     # bf16 PE emission+backward only
     fast_mlp: Optional[bool] = None    # bf16 MLP activation cotangents only
-    # keep f32 cotangents on the alpha (density) head even under fast_mlp —
-    # the density-gradient path is where fast_grads' background floaters
-    # were hypothesized to originate
+    # keep f32 cotangents on the alpha (density) head even under fast_mlp
     alpha_f32: bool = False
     # f32-forward / bf16-backward PE: forward bits identical to the
     # default (single rounding at emission); only the backward runs low
-    # precision. Requires freq_schedule off.
+    # precision. Requires freq_schedule off. +6% alone, quality-safe
+    # forward by construction.
     hifi_pe: bool = False
     # opt-in fused Pallas render kernel (transform+PE+MLP, custom-VJP
     # backward; kernels/fused_render.py). Requires the standard encoder
