@@ -191,6 +191,12 @@ class TrainConfig:
     # precision. Requires freq_schedule off. +6% alone, quality-safe
     # forward by construction.
     hifi_pe: bool = False
+    # f32-forward / f32-backward PE with rematerialized (recomputed)
+    # sin/cos in the backward instead of stored wide f32 residuals:
+    # protocol-default gradient VALUES (f32 math throughout, only
+    # reduction order differs ~1 ulp) at lower HBM traffic. Ignored when
+    # fast_pe / fast_grads / hifi_pe lower the PE backward precision.
+    remat_pe: bool = False
     # opt-in fused Pallas render kernel (transform+PE+MLP, custom-VJP
     # backward; kernels/fused_render.py). Requires the standard encoder
     # family + bfloat16; numerics are fast_grads-class (quality A/B in

@@ -147,29 +147,38 @@ def _make_sincos_pe(fb: np.ndarray, out_dtype):
     return sincos_pe
 
 
-def _make_hifi_window_pe(fb: np.ndarray, include_input: bool,
-                         cutoff_inputs: bool, out_dtype):
-    """Cutoff-windowed PE with f32 forward and bf16 backward.
+def _make_window_pe(fb: np.ndarray, include_input: bool,
+                    cutoff_inputs: bool, out_dtype, bwd_dtype):
+    """Cutoff-windowed PE with f32 forward and a rematerialized backward.
 
     Forward: the EXACT default f32 chain (sin/cos, stack, concat of the
     raw-input block, window multiply) emitted in out_dtype — bit-identical
     to the default path followed by `.astype(out_dtype)`, because rounding
-    happens exactly once, at emission. Backward: the wide (..., K, D)
-    cotangent math runs in out_dtype (sin/cos recomputed from the small
-    residuals, never stored); only the freq-reduced input gradients and the
-    channel-reduced window gradient accumulate in f32. Gradient noise is
-    fast_grads-class; forward rendering is default-class.
+    happens exactly once, at emission. Backward: residuals are only the
+    SMALL primal inputs (x_freq, x_raw, w); sin/cos are recomputed inside
+    the backward fusion instead of being stored as wide (..., K, D) f32
+    residuals. The wide cotangent math runs in `bwd_dtype`:
 
-    Covers the standard branch combo (freq_schedule off, no normalize);
-    `embed` falls back to the plain paths otherwise.
+    - bwd_dtype == out_dtype (bf16): the `hifi_pe` knob — gradient noise is
+      fast_grads-class, forward rendering is default-class.
+    - bwd_dtype == float32: the `remat_pe` knob — the backward computes the
+      same f32 VALUES as the plain-autodiff default (sin/cos of the same
+      f32 args, f32 products, f32-accumulated reductions; only reduction
+      order differs, ~1 ulp), so numerics are protocol-default-class while
+      the forward residual traffic is eliminated.
+
+    Only the freq-reduced input gradients and the channel-reduced window
+    gradient accumulate in f32 in both modes. Covers the standard branch
+    combo (freq_schedule off, no normalize); `embed` falls back to the
+    plain paths otherwise.
     """
     fb_f = jnp.asarray(fb, jnp.float32)
     NF = len(fb)
 
-    def _emb16(x_freq):
+    def _emb_bwd(x_freq):
         arg = fb_f[:, None] * x_freq[..., None, :]
-        s = jnp.sin(arg).astype(out_dtype)
-        c = jnp.cos(arg).astype(out_dtype)
+        s = jnp.sin(arg).astype(bwd_dtype)
+        c = jnp.cos(arg).astype(bwd_dtype)
         e = jnp.stack([s, c], axis=-2)
         return e.reshape(*e.shape[:-3], 2 * NF, e.shape[-1]), s, c
 
@@ -215,17 +224,18 @@ def _make_hifi_window_pe(fb: np.ndarray, include_input: bool,
 
     def bwd(res, g):
         x_freq, x_raw, w = res
-        w16 = w.astype(out_dtype)
-        emb16, s16, c16 = _emb16(x_freq)
+        g = g.astype(bwd_dtype)
+        w_b = w.astype(bwd_dtype)
+        emb_b, s_b, c_b = _emb_bwd(x_freq)
         if include_input and cutoff_inputs:
-            g_cat = g * w16
-            xb = x_raw[..., None, :].astype(out_dtype)
+            g_cat = g * w_b
+            xb = x_raw[..., None, :].astype(bwd_dtype)
             # window grad: out = cat(xb, emb) * w — the raw-input row plus
             # the freq rows, both reduced over K in f32
-            cat16_x = jnp.broadcast_to(xb, g[..., :1, :].shape)
-            gw = (g[..., :1, :] * cat16_x).astype(jnp.float32).sum(
+            cat_x = jnp.broadcast_to(xb, g[..., :1, :].shape)
+            gw = (g[..., :1, :] * cat_x).astype(jnp.float32).sum(
                 -2, keepdims=True)
-            gw = gw + jnp.einsum('...kd,...kd->...d', g[..., 1:, :], emb16,
+            gw = gw + jnp.einsum('...kd,...kd->...d', g[..., 1:, :], emb_b,
                                  preferred_element_type=jnp.float32
                                  )[..., None, :]
             g_raw = g_cat[..., 0, :]
@@ -233,17 +243,17 @@ def _make_hifi_window_pe(fb: np.ndarray, include_input: bool,
         elif include_input:
             g_raw = g[..., 0, :]
             g_fw = g[..., 1:, :]
-            gw = jnp.einsum('...kd,...kd->...d', g_fw, emb16,
+            gw = jnp.einsum('...kd,...kd->...d', g_fw, emb_b,
                             preferred_element_type=jnp.float32)[..., None, :]
-            g_freq = g_fw * w16
+            g_freq = g_fw * w_b
         else:
-            gw = jnp.einsum('...kd,...kd->...d', g, emb16,
+            gw = jnp.einsum('...kd,...kd->...d', g, emb_b,
                             preferred_element_type=jnp.float32)[..., None, :]
-            g_freq = g * w16
+            g_freq = g * w_b
         gp = g_freq.reshape(*g_freq.shape[:-2], NF, 2, g_freq.shape[-1])
-        g_arg = gp[..., 0, :] * c16 - gp[..., 1, :] * s16
+        g_arg = gp[..., 0, :] * c_b - gp[..., 1, :] * s_b
         gx_freq = jnp.einsum('...fd,f->...d', g_arg,
-                             fb_f.astype(out_dtype),
+                             fb_f.astype(bwd_dtype),
                              preferred_element_type=jnp.float32)
         gx_freq = _reduce_to(gx_freq, x_freq.shape).astype(x_freq.dtype)
         g_raw_f = _reduce_to(g_raw.astype(jnp.float32), x_raw.shape
@@ -263,6 +273,7 @@ def embed(cfg: EmbedConfig,
           alpha: Optional[jnp.ndarray] = None,
           out_dtype=None,
           hifi_dtype=None,
+          remat_dtype=None,
           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Apply the (cutoff) positional encoding.
 
@@ -304,13 +315,18 @@ def embed(cfg: EmbedConfig,
 
     w = 1.0 - jax.nn.sigmoid(v)[..., None, :]                # (..., 1, D)
 
-    if (hifi_dtype is not None and out_dtype is None
+    _vjp_emit = hifi_dtype if hifi_dtype is not None else remat_dtype
+    if (_vjp_emit is not None and out_dtype is None
             and not cfg.freq_schedule and not cfg.normalize
             and cfg.num_freqs > 0):
-        # f32-forward / bf16-backward PE: bit-identical forward to the
-        # default chain + final cast; only the backward is lowered
-        pe_fn = _make_hifi_window_pe(cfg.freq_bands(), cfg.include_input,
-                                     cfg.cutoff_inputs, hifi_dtype)
+        # custom-VJP windowed PE, forward bit-identical to the default
+        # chain + final cast (single rounding at emission). hifi_dtype:
+        # bf16 backward math (fast_grads-class grads). remat_dtype: f32
+        # backward math — protocol-default gradient VALUES with the wide
+        # f32 residuals rematerialized instead of stored.
+        bwd_dtype = hifi_dtype if hifi_dtype is not None else jnp.float32
+        pe_fn = _make_window_pe(cfg.freq_bands(), cfg.include_input,
+                                cfg.cutoff_inputs, _vjp_emit, bwd_dtype)
         emb = pe_fn(x_freq, x, w)
         return emb.reshape(*emb.shape[:-2],
                            emb.shape[-2] * emb.shape[-1]), w

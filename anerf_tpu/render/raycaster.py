@@ -68,6 +68,12 @@ class RenderConfig:
     fast_mlp: Optional[bool] = None
     alpha_f32: bool = False       # f32 cotangents on the alpha head
     hifi_pe: bool = False         # f32-forward / bf16-backward PE
+    # f32-forward / f32-backward PE with rematerialized residuals: same
+    # gradient VALUES as the plain-autodiff default (f32 math throughout;
+    # sin/cos recomputed in the backward instead of stored), so it is
+    # protocol-default numerics at lower HBM traffic. Ignored when
+    # fast_pe / hifi_pe select a low-precision PE backward.
+    remat_pe: bool = False
     # opt-in sample culling (--cull_ratio): keep only the n_keep samples
     # per ray closest to the body (inside the cutoff windows, ordered by
     # z), drop the rest before encode/MLP. The cutoff window already
@@ -169,8 +175,11 @@ def encode_inputs(cfg: RenderConfig,
     # and lowers only the backward to bf16.
     _pe_dtype = cfg.dtype if cfg.eff_fast_pe else None
     _hifi = cfg.hifi_pe and cfg.dtype is not None
+    _remat = (cfg.remat_pe and cfg.dtype is not None
+              and _pe_dtype is None and not _hifi)
     pe_kw = dict(tau=tau, alpha=alpha_sched, out_dtype=_pe_dtype,
-                 hifi_dtype=cfg.dtype if _hifi else None)
+                 hifi_dtype=cfg.dtype if _hifi else None,
+                 remat_dtype=cfg.dtype if _remat else None)
 
     v_e, _ = embed(cfg.embed_kp, v, dists=j_dists, cutoff_dist=cutoff_dist,
                    **pe_kw)

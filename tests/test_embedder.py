@@ -182,11 +182,13 @@ def test_bf16_out_dtype_values_and_grads(rng):
         assert float(rel.max()) < 0.2, float(rel.max())
 
 
+@pytest.mark.parametrize('mode', ['hifi', 'remat'])
 @pytest.mark.parametrize('cutoff_inputs', [True, False])
-def test_hifi_pe_forward_bit_identical(rng, cutoff_inputs):
-    """hifi_dtype: the forward must be BIT-identical to the default f32
-    chain followed by a single cast — across both include orderings and
-    the broadcast view layout."""
+def test_window_pe_forward_bit_identical(rng, cutoff_inputs, mode):
+    """hifi_dtype / remat_dtype: the forward must be BIT-identical to the
+    default f32 chain followed by a single cast — across both include
+    orderings and the broadcast view layout."""
+    sel = {('hifi_dtype' if mode == 'hifi' else 'remat_dtype'): jnp.bfloat16}
     # kp-style: inputs are the dists (R, S, 24)
     x = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
     cutoff = np.full((24,), 0.5, dtype=np.float32)
@@ -195,7 +197,7 @@ def test_hifi_pe_forward_bit_identical(rng, cutoff_inputs):
     kw = dict(dists=jnp.asarray(x), cutoff_dist=jnp.asarray(cutoff),
               tau=jnp.float32(20.0))
     ref, _ = embed(cfg, jnp.asarray(x), **kw)
-    got, _ = embed(cfg, jnp.asarray(x), **kw, hifi_dtype=jnp.bfloat16)
+    got, _ = embed(cfg, jnp.asarray(x), **kw, **sel)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_array_equal(
         np.asarray(ref.astype(jnp.bfloat16), dtype=np.float32),
@@ -210,11 +212,44 @@ def test_hifi_pe_forward_bit_identical(rng, cutoff_inputs):
     kwv = dict(dists=jnp.asarray(dv), cutoff_dist=jnp.asarray(cutoff),
                tau=jnp.float32(20.0))
     refv, _ = embed(cfgv, jnp.asarray(xv), **kwv)
-    gotv, _ = embed(cfgv, jnp.asarray(xv), **kwv, hifi_dtype=jnp.bfloat16)
+    gotv, _ = embed(cfgv, jnp.asarray(xv), **kwv, **sel)
     assert gotv.shape == refv.shape
     np.testing.assert_array_equal(
         np.asarray(refv.astype(jnp.bfloat16), dtype=np.float32),
         np.asarray(gotv, dtype=np.float32))
+
+
+@pytest.mark.parametrize('cutoff_inputs', [True, False])
+def test_remat_pe_backward_f32_value_parity(rng, cutoff_inputs):
+    """remat_dtype backward: SAME f32 gradient values as plain autodiff of
+    the default chain + cast (only the reduction order differs, ~1 ulp) —
+    this is what lets remat_pe ship inside the protocol-default config."""
+    x = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    d = np.abs(rng.normal(size=(4, 5, 24))).astype(np.float32) * 0.4
+    cutoff = np.full((24,), 0.5, dtype=np.float32)
+    cfg = EmbedConfig(input_dims=24, num_freqs=5, cutoff=True, cutoff_dim=24,
+                      cutoff_inputs=cutoff_inputs, dist_inputs=False)
+
+    def f(xx, dd, remat):
+        e, _ = embed(cfg, xx, dists=dd, cutoff_dist=jnp.asarray(cutoff),
+                     tau=jnp.float32(20.0),
+                     remat_dtype=jnp.bfloat16 if remat else None)
+        # the default path emits f32; round it once like the raycaster
+        # does so both branches see the SAME bf16 output and cotangents
+        e = e.astype(jnp.bfloat16).astype(jnp.float32)
+        wsum = jnp.arange(e.size, dtype=jnp.float32).reshape(e.shape) / e.size
+        return jnp.sum(e * wsum)
+
+    v32, g32 = jax.value_and_grad(f, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(d), False)
+    vrm, grm = jax.value_and_grad(f, argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(d), True)
+    assert float(v32) == float(vrm)          # forward bit-identical
+    for a, b in zip(g32, grm):
+        a, b = np.asarray(a), np.asarray(b)
+        floor = 1e-3 * np.abs(a).mean() + 1e-12
+        rel = np.abs(a - b) / np.maximum(np.abs(a), floor)
+        assert float(rel.max()) < 1e-4, float(rel.max())
 
 
 @pytest.mark.parametrize('cutoff_inputs', [True, False])

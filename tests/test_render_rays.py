@@ -172,9 +172,10 @@ def test_render_fn_cache_hit(rng):
     assert make_render_fn(cfg, True) is not f1
 
 
-def test_hifi_pe_render_forward_bit_identical(rng):
-    """cfg.hifi_pe changes only the backward: the rendered forward under
-    bf16 compute must be bit-identical to the default path."""
+@pytest.mark.parametrize('knob', ['hifi_pe', 'remat_pe'])
+def test_window_pe_render_forward_bit_identical(rng, knob):
+    """cfg.hifi_pe / cfg.remat_pe change only the backward: the rendered
+    forward under bf16 compute must be bit-identical to the default path."""
     import dataclasses
     args, cfg, params, pose = build_tiny(rng, compute_dtype='bfloat16')
     batch = synthetic_batch(rng, pose)
@@ -184,12 +185,41 @@ def test_hifi_pe_render_forward_bit_identical(rng):
     base = render_rays(params, cfg, batch['rays'], per_ray('kp3d'),
                        per_ray('skts'), per_ray('bones'), per_ray('cyls'),
                        **common)
-    hifi = render_rays(params, dataclasses.replace(cfg, hifi_pe=True),
-                       batch['rays'], per_ray('kp3d'), per_ray('skts'),
-                       per_ray('bones'), per_ray('cyls'), **common)
+    alt = render_rays(params, dataclasses.replace(cfg, **{knob: True}),
+                      batch['rays'], per_ray('kp3d'), per_ray('skts'),
+                      per_ray('bones'), per_ray('cyls'), **common)
     for k in ('rgb_map', 'acc_map', 'rgb0'):
         np.testing.assert_array_equal(np.asarray(base[k]),
-                                      np.asarray(hifi[k]), err_msg=k)
+                                      np.asarray(alt[k]), err_msg=k)
+
+
+def test_remat_pe_render_grads_match_default(rng):
+    """remat_pe keeps protocol-default backward numerics: full render_rays
+    gradients match the plain-autodiff default to f32 reduction-order
+    tolerance (vs ~1e-2-class drift for the bf16-backward knobs)."""
+    import dataclasses
+    args, cfg, params, pose = build_tiny(rng, compute_dtype='bfloat16')
+    batch = synthetic_batch(rng, pose)
+    per_ray = lambda k: batch[k][batch['pose_idx']]
+
+    def loss(p, c):
+        out = render_rays(p, c, batch['rays'], per_ray('kp3d'),
+                          per_ray('skts'), per_ray('bones'),
+                          per_ray('cyls'), cam_idxs=batch['cam_idxs'],
+                          rng=jax.random.PRNGKey(3), tau=jnp.float32(150.0))
+        return jnp.mean((out['rgb_map'] - 0.5) ** 2) + \
+            jnp.mean((out['rgb0'] - 0.5) ** 2)
+
+    v0, g0 = jax.value_and_grad(loss)(params, cfg)
+    v1, g1 = jax.value_and_grad(loss)(
+        params, dataclasses.replace(cfg, remat_pe=True))
+    assert float(v0) == float(v1)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.abs(a).max() + 1e-12
+        assert float(np.abs(a - b).max() / scale) < 1e-4
 
 
 def test_fast_knob_combos_finite_grads(rng):
