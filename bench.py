@@ -266,31 +266,118 @@ def scaling_table(n_devices: int):
     }))
 
 
+def quality_ab(steps: int, styles, seeds, cull_ratio: float,
+               fast_grads: bool):
+    """Automated cull-vs-nocull quality A/B (VERDICT r2 #1): trains the
+    protocol-default and the culled config on each synthetic fixture
+    family with a deterministic loader and reports val PSNR side by side.
+    One JSON line; ~4-8 min per (style, seed, config) on a v5e chip.
+    """
+    import os
+    import tempfile
+
+    from anerf_tpu.config import TrainConfig
+    from anerf_tpu.data.fixtures import make_synthetic_h5
+    from anerf_tpu.data.surreal import SurrealDataset
+    from anerf_tpu.train.loop import run_validation, train
+
+    rows = []
+    for style in styles:
+        H = 96 if style == 'clutter' else 64
+        d = os.path.join(tempfile.gettempdir(), f'bench_qab_{style}_{H}')
+        h5 = os.path.join(d, 'syn_train_h5py.h5')
+        os.makedirs(d, exist_ok=True)
+        if not os.path.exists(h5):
+            make_synthetic_h5(h5, n_kps=8, n_cams=3, H=H, W=H, style=style)
+        for seed in seeds:
+            for label, over in (('control', {}),
+                                ('culled', dict(cull_ratio=cull_ratio,
+                                                fast_grads=fast_grads))):
+                args = TrainConfig(
+                    expname=f'qab_{style}_{seed}_{label}', basedir=d,
+                    dataset_type=('h5',), subject=(h5,),
+                    netdepth=8, netwidth=256, multires=7, multires_views=4,
+                    N_samples=64, N_importance=16, N_rand=2048,
+                    N_sample_images=32, use_viewdirs=True, use_cutoff=True,
+                    cutoff_viewdir=True, cutoff_inputs=True,
+                    use_background=True, opt_framecode=True,
+                    ext_scale=0.001, lrate=5e-4, raw_noise_std=1.0,
+                    i_print=10**8, i_weights=10**8, i_testset=10**8,
+                    i_pose_weights=10**8, chunk=1024 * 16,
+                    compute_dtype='bfloat16', num_workers=0,
+                    scan_unroll=10, no_reload=True, seed=seed, **over)
+                ds = SurrealDataset(
+                    h5, N_samples=args.N_rand // args.N_sample_images,
+                    split='train')
+                t0 = time.perf_counter()
+                ctx = train(args, ds, n_iters=steps)
+                dt = time.perf_counter() - t0
+                val = run_validation(ctx, steps, max_images=3)
+                rows.append({'style': style, 'seed': seed, 'config': label,
+                             'psnr': round(float(val['psnr']), 2),
+                             'fg_psnr': round(float(val.get(
+                                 'fg_psnr', float('nan'))), 2),
+                             'fg_ssim': round(float(val.get(
+                                 'fg_ssim', float('nan'))), 3),
+                             'rays_per_s': round(steps * 2048 / dt, 1)})
+                print(rows[-1], flush=True)
+
+    deltas = []
+    for style in styles:
+        for seed in seeds:
+            pair = {r['config']: r for r in rows
+                    if r['style'] == style and r['seed'] == seed}
+            deltas.append(pair['culled']['psnr'] - pair['control']['psnr'])
+    print(json.dumps({
+        'metric': 'cull_quality_delta_psnr',
+        'value': round(statistics.median(deltas), 2),
+        'unit': f'dB (culled {cull_ratio} - control, median over '
+                f'{len(deltas)} fixturexseed pairs)',
+        'vs_baseline': round(statistics.median(deltas), 2),
+        'rows': rows,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--skip_fast_grads', action='store_true',
                    help='bench only the reference-protocol default config')
     p.add_argument('--n_devices', type=int, default=0,
                    help='weak-scaling mode over an n-device mesh')
+    p.add_argument('--quality_ab', action='store_true',
+                   help='run the cull-vs-nocull quality A/B instead of the '
+                        'throughput bench (slow: trains 2 models per '
+                        'fixture family)')
+    p.add_argument('--ab_steps', type=int, default=4000)
+    p.add_argument('--ab_styles', nargs='+',
+                   default=['blobs', 'limbs', 'clutter'])
+    p.add_argument('--ab_seeds', nargs='+', type=int, default=[0])
+    p.add_argument('--ab_cull', type=float, default=0.125)
     a = p.parse_args()
 
+    if a.quality_ab:
+        return quality_ab(a.ab_steps, a.ab_styles, a.ab_seeds, a.ab_cull,
+                          fast_grads=True)
     if a.n_devices:
         return scaling_table(a.n_devices)
 
     # Headline = deepest cull whose quality measured equal to the
-    # protocol default within the noise band on BOTH test fixtures
-    # (PERF.md round-2 culling-depth study: strided in-window selection,
-    # cull 0.25 + fast_grads — budget < in-window count concentrates
-    # every trained sample on the body). The reference-protocol default
-    # (all samples, f32 cotangents) is reported as 'protocol_default'.
+    # protocol default within the noise band on ALL THREE fixture
+    # families across seeds (PERF.md round-3 sweep: strided in-window
+    # selection, cull 0.125 + fast_grads — budget < in-window count
+    # concentrates every trained sample on the body; pose refinement
+    # re-checked at this depth). The reference-protocol default (all
+    # samples, f32 cotangents) is reported as 'protocol_default'.
+    # `--quality_ab` regenerates the cull-vs-nocull quality evidence.
     extras = {}
     state, step_fn, stacks, rpd = build(fast_grads=False)
     default_med, default_best, _ = measure(state, step_fn, stacks, rpd)
     extras['protocol_default'] = round(default_med, 1)
     if not a.skip_fast_grads:
-        state, step_fn, stacks, rpd = build(fast_grads=True, cull_ratio=0.25)
+        state, step_fn, stacks, rpd = build(fast_grads=True,
+                                            cull_ratio=0.125)
         fast_med, fast_best, _ = measure(state, step_fn, stacks, rpd)
-        extras['headline_config'] = 'cull_ratio=0.25 fast_grads'
+        extras['headline_config'] = 'cull_ratio=0.125 fast_grads'
         extras['best'] = round(fast_best, 1)
         headline = fast_med
     else:
@@ -299,7 +386,7 @@ def main():
     if not a.skip_fast_grads:
         try:
             extras['render_box_rays_per_sec'] = round(
-                measure_render(cull_ratio=0.25), 1)
+                measure_render(cull_ratio=0.125), 1)
         except Exception as e:       # render metric is auxiliary — never
             extras['render_error'] = str(e)[:120]  # sink the train metric
 
