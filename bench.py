@@ -355,6 +355,9 @@ def main():
     p.add_argument('--ab_cull', type=float, default=0.125)
     a = p.parse_args()
 
+    from anerf_tpu.utils.device_lock import acquire
+    acquire()   # serialize tunnel clients BEFORE the first backend touch
+
     if a.quality_ab:
         return quality_ab(a.ab_steps, a.ab_styles, a.ab_seeds, a.ab_cull,
                           fast_grads=True)

@@ -122,7 +122,9 @@ def run_render(args):
     from anerf_tpu.render import modes
     from anerf_tpu.render.catalog import init_catalog
     from anerf_tpu.render.render_path import render_path
+    from anerf_tpu.utils.device_lock import acquire
 
+    acquire()   # serialize tunnel clients BEFORE the first backend touch
     nerf_args = load_args_txt(args.nerf_args)
     cfg, params, pose_sd, tau = load_model(args, nerf_args)
 
