@@ -46,6 +46,10 @@ def config_parser():
     p.add_argument('--runname', type=str, required=True)
     p.add_argument('--eval', action='store_true')
     p.add_argument('--no_save', action='store_true')
+    p.add_argument('--server', action='store_true',
+                   help='persistent render server: load the model once, '
+                        'then serve newline-delimited JSON render requests '
+                        'on stdin (one JSON reply line per request)')
     return p
 
 
@@ -115,130 +119,224 @@ def build_pose_source(args, nerf_args, entry, pose_sd):
                       rest_pose=rest_pose), data_h5
 
 
+class RenderSession:
+    """Model + pose source loaded ONCE; renders any number of requests.
+
+    The serving backbone (no reference analog — the reference reloads
+    the torch model per CLI invocation): the jitted bucketed renderer is
+    cached per (config, bucket shape) inside render_path, and the
+    persistent XLA compilation cache survives process restarts, so every
+    request after the first pays zero compile and zero load time.
+    """
+
+    def __init__(self, args):
+        from anerf_tpu.config import load_args_txt
+        from anerf_tpu.render.catalog import init_catalog
+        from anerf_tpu.utils.device_lock import acquire
+
+        acquire()   # serialize tunnel clients BEFORE first backend touch
+        self.nerf_args = load_args_txt(args.nerf_args)
+        self.cfg, self.params, self.pose_sd, self.tau = load_model(
+            args, self.nerf_args)
+        self.catalog = init_catalog()[args.dataset][args.entry]
+        self.src, self.data_h5 = build_pose_source(
+            args, self.nerf_args, self.catalog, self.pose_sd)
+
+        import h5py
+        with h5py.File(self.data_h5, 'r', swmr=True) as f:
+            img_shape = f['img_shape'][:]
+        self.native_hw = (int(img_shape[1]), int(img_shape[2]))
+
+        import jax
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from anerf_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh()
+
+    def render_once(self, args):
+        import imageio
+
+        from anerf_tpu.render import modes
+        from anerf_tpu.render.render_path import render_path
+
+        cfg, params, pose_sd = self.cfg, self.params, self.pose_sd
+        nerf_args, src, data_h5 = self.nerf_args, self.src, self.data_h5
+        H_native, W_native = self.native_hw
+
+        mode_kwargs = dict(self.catalog.get(args.render_type, {}))
+        if args.selected_idxs is not None:
+            mode_kwargs['selected_idxs'] = np.array(args.selected_idxs)
+
+        rtype = args.render_type
+        if rtype == 'mesh':
+            # meshes have no render resolution; overlays composite onto
+            # the natively-stored GT frames
+            return render_mesh_mode(args, cfg, params, src, mode_kwargs,
+                                    self.tau, data_h5=data_h5,
+                                    hw=(H_native, W_native))
+
+        if args.render_res:
+            assert len(args.render_res) == 2, 'render_res should be (H, W)'
+            H, W = args.render_res
+            # a non-native resolution keeps the field of view: intrinsics
+            # scale with the image height (reference run_render.py:166-172)
+            import dataclasses
+            src = dataclasses.replace(
+                src, focals=np.asarray(src.focals, np.float32)
+                * (float(H) / float(H_native)))
+        else:
+            H, W = H_native, W_native
+
+        def build_retarget(src_, **kw):
+            kw.pop('is_surreal', None)
+            kw.pop('is_neuralbody', None)
+            return modes.load_retarget(src_, src_, kw.pop('selected_idxs'),
+                                       kw.pop('length', 1),
+                                       skip=kw.pop('skip', 1), **kw)
+
+        def build_val(src_, **kw):
+            for drop in ('length', 'skip', 'is_surreal', 'is_neuralbody'):
+                kw.pop(drop, None)
+            return modes.load_selected(src_, **kw)
+
+        def build_correction(src_, **kw):
+            refined_src = None
+            if pose_sd is not None:
+                from anerf_tpu.pose.ckpt_compat import pose_ckpt_to_pose_data
+                kp3d, bones_r, _, _, rest_r, _ = pose_ckpt_to_pose_data(
+                    popt_sd=pose_sd)
+                refined_src = modes.PoseSource(
+                    kps=kp3d, bones=bones_r, c2ws=src_.c2ws,
+                    focals=src_.focals, rest_pose=rest_r)
+            if refined_src is None:
+                raise ValueError(
+                    'correction mode needs a pose-opt checkpoint')
+            return modes.load_correction(src_, refined_src, **kw)
+
+        builders = {
+            'bullet': modes.load_bullettime,
+            'interpolate': modes.load_interpolate,
+            'animate': modes.load_animate,
+            'poserot': modes.load_pose_rotate,
+            'bubble': modes.load_bubble,
+            'selected': build_val,
+            'val': build_val,
+            'retarget': build_retarget,
+            'correction': build_correction,
+        }
+        if rtype not in builders:
+            raise NotImplementedError(f'render_type {rtype} not implemented')
+        data = builders[rtype](src, **mode_kwargs)
+
+        cam_idxs = data['cam_idxs']
+        if args.selected_framecode is not None:
+            cam_idxs = np.full_like(cam_idxs, args.selected_framecode)
+
+        out = render_path(
+            params, cfg, data['c2ws'], (H, W, data['focals']),
+            data['kp3d'], data['skts'], data.get('bones'),
+            cam_idxs=cam_idxs, tau=self.tau, chunk=nerf_args.chunk,
+            ext_scale=nerf_args.ext_scale, white_bkgd=True,
+            use_framecode_idx=nerf_args.opt_framecode, mesh=self.mesh,
+            verbose=True)
+
+        outdir = os.path.join(args.outputdir, args.dataset, args.runname)
+        os.makedirs(os.path.join(outdir, 'image'), exist_ok=True)
+        if not args.no_save:
+            for i, rgb in enumerate(out['rgbs']):
+                imageio.imwrite(
+                    os.path.join(outdir, 'image', f'{i:05d}.png'),
+                    (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            np.save(os.path.join(outdir, 'bboxes.npy'), out['bboxes'])
+            try:
+                imageio.mimwrite(
+                    os.path.join(outdir, f'{args.runname}.mp4'),
+                    (np.clip(out['rgbs'], 0, 1) * 255).astype(np.uint8),
+                    fps=args.fps)
+            except Exception as e:
+                print(f'video write skipped: {e}')
+
+        if args.eval:
+            if rtype not in EVAL_MODES:
+                raise ValueError(
+                    f'--eval is only supported for {EVAL_MODES}; {rtype} '
+                    f'outputs do not map 1:1 onto GT frames')
+            out['eval'] = evaluate(args, out, data_h5, mode_kwargs, outdir,
+                                   H, W)
+        return out
+
+
 def run_render(args):
-    import imageio
+    return RenderSession(args).render_once(args)
 
-    from anerf_tpu.config import load_args_txt
-    from anerf_tpu.render import modes
-    from anerf_tpu.render.catalog import init_catalog
-    from anerf_tpu.render.render_path import render_path
-    from anerf_tpu.utils.device_lock import acquire
 
-    acquire()   # serialize tunnel clients BEFORE the first backend touch
-    nerf_args = load_args_txt(args.nerf_args)
-    cfg, params, pose_sd, tau = load_model(args, nerf_args)
+# request fields a server client may override per render (everything else
+# is fixed at session load: checkpoint, dataset/entry, pose refinement)
+SERVE_KEYS = frozenset((
+    'render_type', 'selected_idxs', 'selected_framecode', 'render_res',
+    'runname', 'outputdir', 'eval', 'fps', 'no_save', 'save_gt',
+    'mesh_res', 'mesh_thres', 'mesh_overlay'))
 
-    catalog = init_catalog()[args.dataset][args.entry]
-    mode_kwargs = dict(catalog.get(args.render_type, {}))
-    if args.selected_idxs is not None:
-        mode_kwargs['selected_idxs'] = np.array(args.selected_idxs)
 
-    src, data_h5 = build_pose_source(args, nerf_args, catalog, pose_sd)
+def serve(args, stdin=None, stdout=None):
+    """Persistent render server: one loaded model, newline-delimited JSON
+    requests on stdin, one JSON reply line per request on stdout.
 
-    import h5py
-    with h5py.File(data_h5, 'r', swmr=True) as f:
-        img_shape = f['img_shape'][:]
-    H_native, W_native = int(img_shape[1]), int(img_shape[2])
+    Request: {"render_type": "bullet", "selected_idxs": [0, 2],
+              "runname": "r1", ...}  (SERVE_KEYS only)
+    Reply:   {"ok": true, "runname": "r1", "n_frames": 6,
+              "outdir": "...", "seconds": 1.2[, "eval": {...}]}
+    {"cmd": "quit"} (or EOF) shuts the server down.
+    """
+    import argparse
+    import json
+    import sys
+    import time
 
-    rtype = args.render_type
-    if rtype == 'mesh':
-        # meshes have no render resolution; overlays composite onto the
-        # natively-stored GT frames
-        return render_mesh_mode(args, cfg, params, src, mode_kwargs, tau,
-                                data_h5=data_h5, hw=(H_native, W_native))
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
 
-    if args.render_res:
-        assert len(args.render_res) == 2, 'render_res should be (H, W)'
-        H, W = args.render_res
-        # a non-native resolution keeps the field of view: intrinsics
-        # scale with the image height (reference run_render.py:166-172)
-        import dataclasses
-        src = dataclasses.replace(
-            src, focals=np.asarray(src.focals, np.float32)
-            * (float(H) / float(H_native)))
-    else:
-        H, W = H_native, W_native
+    def reply(obj):
+        stdout.write(json.dumps(obj) + '\n')
+        stdout.flush()
 
-    def build_retarget(src_, **kw):
-        kw.pop('is_surreal', None)
-        kw.pop('is_neuralbody', None)
-        return modes.load_retarget(src_, src_, kw.pop('selected_idxs'),
-                                   kw.pop('length', 1),
-                                   skip=kw.pop('skip', 1), **kw)
+    t0 = time.perf_counter()
+    sess = RenderSession(args)
+    reply({'ok': True, 'ready': True,
+           'load_seconds': round(time.perf_counter() - t0, 3),
+           'dataset': args.dataset, 'entry': args.entry,
+           'serve_keys': sorted(SERVE_KEYS)})
 
-    def build_val(src_, **kw):
-        for drop in ('length', 'skip', 'is_surreal', 'is_neuralbody'):
-            kw.pop(drop, None)
-        return modes.load_selected(src_, **kw)
-
-    def build_correction(src_, **kw):
-        refined_src = None
-        if pose_sd is not None:
-            from anerf_tpu.pose.ckpt_compat import pose_ckpt_to_pose_data
-            kp3d, bones_r, _, _, rest_r, _ = pose_ckpt_to_pose_data(
-                popt_sd=pose_sd)
-            refined_src = modes.PoseSource(
-                kps=kp3d, bones=bones_r, c2ws=src_.c2ws,
-                focals=src_.focals, rest_pose=rest_r)
-        if refined_src is None:
-            raise ValueError('correction mode needs a pose-opt checkpoint')
-        return modes.load_correction(src_, refined_src, **kw)
-
-    builders = {
-        'bullet': modes.load_bullettime,
-        'interpolate': modes.load_interpolate,
-        'animate': modes.load_animate,
-        'poserot': modes.load_pose_rotate,
-        'bubble': modes.load_bubble,
-        'selected': build_val,
-        'val': build_val,
-        'retarget': build_retarget,
-        'correction': build_correction,
-    }
-    if rtype not in builders:
-        raise NotImplementedError(f'render_type {rtype} not implemented')
-    data = builders[rtype](src, **mode_kwargs)
-
-    cam_idxs = data['cam_idxs']
-    if args.selected_framecode is not None:
-        cam_idxs = np.full_like(cam_idxs, args.selected_framecode)
-
-    import jax
-
-    mesh = None
-    if len(jax.devices()) > 1:
-        from anerf_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh()
-    out = render_path(
-        params, cfg, data['c2ws'], (H, W, data['focals']),
-        data['kp3d'], data['skts'], data.get('bones'),
-        cam_idxs=cam_idxs, tau=tau, chunk=nerf_args.chunk,
-        ext_scale=nerf_args.ext_scale, white_bkgd=True,
-        use_framecode_idx=nerf_args.opt_framecode, mesh=mesh,
-        verbose=True)
-
-    outdir = os.path.join(args.outputdir, args.dataset, args.runname)
-    os.makedirs(os.path.join(outdir, 'image'), exist_ok=True)
-    if not args.no_save:
-        for i, rgb in enumerate(out['rgbs']):
-            imageio.imwrite(
-                os.path.join(outdir, 'image', f'{i:05d}.png'),
-                (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
-        np.save(os.path.join(outdir, 'bboxes.npy'), out['bboxes'])
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
         try:
-            imageio.mimwrite(os.path.join(outdir, f'{args.runname}.mp4'),
-                             (np.clip(out['rgbs'], 0, 1) * 255).astype(
-                                 np.uint8), fps=args.fps)
-        except Exception as e:
-            print(f'video write skipped: {e}')
-
-    if args.eval:
-        if rtype not in EVAL_MODES:
-            raise ValueError(
-                f'--eval is only supported for {EVAL_MODES}; {rtype} '
-                f'outputs do not map 1:1 onto GT frames')
-        evaluate(args, out, data_h5, mode_kwargs, outdir, H, W)
-    return out
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError('request must be a JSON object')
+            if req.get('cmd') == 'quit':
+                reply({'ok': True, 'bye': True})
+                break
+            bad = set(req) - SERVE_KEYS
+            if bad:
+                raise ValueError(f'unknown request fields {sorted(bad)}; '
+                                 f'allowed: {sorted(SERVE_KEYS)}')
+            r_args = argparse.Namespace(**{**vars(args), **req})
+            t0 = time.perf_counter()
+            out = sess.render_once(r_args)
+            res = {'ok': True, 'runname': r_args.runname,
+                   'outdir': os.path.join(r_args.outputdir, args.dataset,
+                                          r_args.runname),
+                   'seconds': round(time.perf_counter() - t0, 3)}
+            if out is not None and 'rgbs' in out:
+                res['n_frames'] = int(len(out['rgbs']))
+            if out is not None and 'eval' in out:
+                res['eval'] = {k: float(v) for k, v in out['eval'].items()}
+        except Exception as e:                    # one bad request must not
+            res = {'ok': False,                   # kill the server
+                   'error': f'{type(e).__name__}: {e}'}
+        reply(res)
 
 
 # modes whose outputs correspond 1:1 to GT frames at `selected_idxs`
@@ -348,4 +446,8 @@ def render_mesh_mode(args, cfg, params, src, mode_kwargs, tau,
 
 
 if __name__ == '__main__':
-    run_render(config_parser().parse_args())
+    _args = config_parser().parse_args()
+    if _args.server:
+        serve(_args)
+    else:
+        run_render(_args)

@@ -193,6 +193,53 @@ def test_eval_unsorted_selected_idxs(tmp_path):
     assert metrics['psnr'] > 60.0
 
 
+def test_render_server_mode(trained, monkeypatch):
+    """--server: one loaded model serves multiple JSON requests — val with
+    eval, a rejected malformed request (server must survive it), a bullet
+    render, then a clean quit."""
+    import io
+    import json
+
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='val', runname='srv0')
+    requests = [
+        {'render_type': 'val', 'selected_idxs': [0, 1], 'runname': 'srv1',
+         'eval': True},
+        {'render_type': 'val', 'bogus_field': 1},
+        {'render_type': 'bullet', 'selected_idxs': None, 'runname': 'srv2'},
+        {'cmd': 'quit'},
+    ]
+    stdin = io.StringIO('\n'.join(json.dumps(r) for r in requests) + '\n')
+    stdout = io.StringIO()
+    rr.serve(args, stdin=stdin, stdout=stdout)
+    lines = [json.loads(ln) for ln in stdout.getvalue().splitlines()]
+    assert len(lines) == 5, stdout.getvalue()
+    ready, r1, r2, r3, bye = lines
+    assert ready['ok'] and ready['ready'] and ready['load_seconds'] > 0
+    assert r1['ok'] and r1['n_frames'] == 2 and 'psnr' in r1['eval']
+    assert not r2['ok'] and 'bogus_field' in r2['error']
+    assert r3['ok'] and r3['n_frames'] == 6     # 2 idxs x 3 bullet views
+    assert bye['ok'] and bye.get('bye')
+    img_dir = os.path.join(str(tmp), 'render_out', 'surreal', 'srv2',
+                           'image')
+    assert len(os.listdir(img_dir)) == 6
+
+
+def test_render_server_eof_shuts_down(trained, monkeypatch):
+    """EOF on stdin (client gone) must end serve() cleanly after ready."""
+    import io
+    import json
+
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp)
+    stdout = io.StringIO()
+    rr.serve(args, stdin=io.StringIO(''), stdout=stdout)
+    lines = [json.loads(ln) for ln in stdout.getvalue().splitlines()]
+    assert len(lines) == 1 and lines[0]['ready']
+
+
 def test_render_from_reference_tar(trained, monkeypatch, tmp_path):
     """Export the trained model as a reference .tar and render through the
     run_render tar branch."""
