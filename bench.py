@@ -338,6 +338,34 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
     }))
 
 
+def device_liveness_check(timeout_s: float = 420.0) -> str | None:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout.
+
+    A wedged remote-attached chip (tunnel down, or a server-side client
+    slot leaked by a killed job) hangs the very first backend touch
+    indefinitely — even `jax.devices()` never returns, so no in-process
+    guard can fire. Probing in a disposable subprocess lets the bench
+    emit a diagnosable JSON error line instead of hanging the driver.
+    Returns None when healthy, else a short error string.
+    """
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c',
+             'import jax, jax.numpy as jnp\n'
+             'x = jnp.ones((64, 64))\n'
+             'assert float((x @ x).sum()) == 64.0 * 64 * 64\n'
+             'print("LIVE", jax.devices()[0].platform)'],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f'device unreachable: first backend touch hung >{timeout_s:.0f}s'
+    if r.returncode != 0 or 'LIVE' not in r.stdout:
+        return ('device probe failed: '
+                + (r.stderr or r.stdout).strip().splitlines()[-1][:160])
+    return None
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--skip_fast_grads', action='store_true',
@@ -357,6 +385,13 @@ def main():
 
     from anerf_tpu.utils.device_lock import acquire
     acquire()   # serialize tunnel clients BEFORE the first backend touch
+
+    err = device_liveness_check()
+    if err is not None:
+        print(json.dumps({'metric': 'train_rays_per_sec', 'value': 0.0,
+                          'unit': 'rays/s', 'vs_baseline': 0.0,
+                          'error': err}))
+        raise SystemExit(2)
 
     if a.quality_ab:
         return quality_ab(a.ab_steps, a.ab_styles, a.ab_seeds, a.ab_cull,
