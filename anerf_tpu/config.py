@@ -199,8 +199,11 @@ class TrainConfig:
     remat_pe: bool = False
     # opt-in fused Pallas render kernel (transform+PE+MLP, custom-VJP
     # backward; kernels/fused_render.py). Requires the standard encoder
-    # family + bfloat16; numerics are fast_grads-class (quality A/B in
-    # PERF.md). build_render_config raises if requested but unsupported.
+    # family + bfloat16. The backward's cotangent precision follows the
+    # MLP fast-grads knob: with --fast_grads (or --fast_mlp) cotangent
+    # matmuls run in bf16 (quality A/B in PERF.md); without, they stay
+    # f32 end to end (value-preserving, protocol-default-numerics
+    # candidate). build_render_config raises if requested but unsupported.
     fused_kernel: bool = False
     scan_unroll: int = 8               # train steps fused per device dispatch
     seed: int = 0

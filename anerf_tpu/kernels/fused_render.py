@@ -516,25 +516,26 @@ def fused_encode_mlp_pts(ncfg: NeRFConfig, packed: Dict[str, Any],
 
 CONST_NAMES = ('F_v', 'R_v', 'F_d', 'R_d', 'R72', 'cut')
 
-# Wide cotangent matmuls in the backward kernel run in bf16 (the
-# --fast_grads numerics; VMEM-resident, so this is about MXU rate, not
-# traffic). Set False for f32 cotangents (debug / parity studies).
-BWD_BF16_COTANGENTS = True
-
 
 def _trainable_names(ncfg: NeRFConfig):
     return [n for n in _names(ncfg) if n not in CONST_NAMES]
 
 
 def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
+                           bwd_f32: bool,
                            pts_ref, m_ref, aux_ref, tau_ref, g_ref, *refs):
     """Fused backward: recompute the forward per tile (flash-style), then
     backprop through MLP, cutoff-PE, and the world->local transform in
     VMEM. Input grads (dpts/dm/daux) are per-tile block writes; weight
     grads accumulate across the sequential TPU grid into constant-index
-    output blocks. Wide cotangent matmuls run in bf16 with f32
-    accumulation (the --fast_grads numerics); the transform backward —
-    the pose-refinement path — stays f32.
+    output blocks.
+
+    bwd_f32 selects the cotangent-matmul operand precision: False runs
+    the wide cotangent matmuls in bf16 with f32 accumulation (the
+    --fast_grads numerics — VMEM-resident, so this is about MXU rate,
+    not traffic); True keeps them f32 end to end (value-preserving — the
+    protocol-default numerics, fused). The transform backward — the
+    pose-refinement path — is f32 in both flavors.
     """
     names = _names(ncfg)
     w = _read_weights(ncfg, refs[:len(names)])
@@ -546,7 +547,7 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
     t = _transform_tile(S, TR, pts_ref, m_ref, aux_ref)
     _, c = _forward_trace(ncfg, w, t['v'], t['r'], t['d'], t['fc'], tau)
 
-    cot = bf if BWD_BF16_COTANGENTS else f32
+    cot = f32 if bwd_f32 else bf
 
     def mmT(a, b):   # (T, N) x (K, N) -> (T, K), bf16 operands
         return jax.lax.dot_general(a.astype(cot), b.astype(cot),
@@ -681,11 +682,12 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
 
 def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
                     pts: jnp.ndarray, m_all: jnp.ndarray, aux: jnp.ndarray,
-                    S: int, tau, g: jnp.ndarray):
+                    S: int, tau, g: jnp.ndarray, bwd_f32: bool):
     """Run the backward kernel; returns (dW dict over trainable names,
     dpts, dm_all, daux)."""
     R = pts.shape[0]
-    TR = _pick_tr(S, max_t=512)
+    # the f32-cotangent flavor doubles the wide VMEM tiles; halve the tile
+    TR = _pick_tr(S, max_t=256 if bwd_f32 else 512)
     R_pad = _rup(R, TR)
     pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))).reshape(
         R_pad * S, 3)
@@ -732,7 +734,8 @@ def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
     ] + [pl.BlockSpec(arg2d[n].shape, lambda i: (0, 0),
                       memory_space=pltpu.VMEM) for n in trainable]
 
-    kernel = functools.partial(_render_kernel_pts_bwd, ncfg, S, TR)
+    kernel = functools.partial(_render_kernel_pts_bwd, ncfg, S, TR,
+                               bwd_f32)
     interpret = jax.default_backend() != 'tpu'
     outs = pl.pallas_call(
         kernel,
@@ -754,8 +757,9 @@ def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
     return dWs, dpts, dm, daux
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_apply(ncfg: NeRFConfig, S: int, packed: Dict[str, Any],
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_apply(ncfg: NeRFConfig, S: int, bwd_f32: bool,
+                packed: Dict[str, Any],
                 pts: jnp.ndarray, m_all: jnp.ndarray, aux: jnp.ndarray,
                 tau) -> jnp.ndarray:
     """Differentiable fused transform+PE+MLP: (R, S, 3) world pts ->
@@ -763,19 +767,21 @@ def fused_apply(ncfg: NeRFConfig, S: int, packed: Dict[str, Any],
     through pack_render_params by XLA), to pts, and to m_all/aux (the
     pose-refinement path through pack_ray_data). cutoff_dist ('cut') and
     tau receive zero grads — cutoff_dist is never trained
-    (train/trainer.py) and tau is a schedule."""
+    (train/trainer.py) and tau is a schedule. bwd_f32 selects f32
+    cotangent-matmul operands in the backward kernel (value-preserving)
+    vs bf16 (the --fast_grads numerics); the forward is identical."""
     return fused_encode_mlp_pts(ncfg, packed, pts, m_all, aux, S, tau)
 
 
-def _fused_apply_fwd(ncfg, S, packed, pts, m_all, aux, tau):
+def _fused_apply_fwd(ncfg, S, bwd_f32, packed, pts, m_all, aux, tau):
     out = fused_encode_mlp_pts(ncfg, packed, pts, m_all, aux, S, tau)
     return out, (packed, pts, m_all, aux, tau)
 
 
-def _fused_apply_bwd(ncfg, S, res, g):
+def _fused_apply_bwd(ncfg, S, bwd_f32, res, g):
     packed, pts, m_all, aux, tau = res
     dWs, dpts, dm, daux = _fused_bwd_impl(ncfg, packed, pts, m_all, aux,
-                                          S, tau, g)
+                                          S, tau, g, bwd_f32)
     d_packed = {n: jnp.zeros_like(packed[n]) for n in CONST_NAMES}
     d_packed.update({n: v.astype(packed[n].dtype) for n, v in dWs.items()})
     dtau = jnp.zeros_like(jnp.asarray(tau, jnp.float32))

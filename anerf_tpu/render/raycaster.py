@@ -325,11 +325,15 @@ def render_rays(params: Dict[str, Any],
                                             pack_render_params)
         nf_kp = cfg.embed_kp.num_freqs
         nf_view = cfg.embed_view.num_freqs
+        # cotangent precision in the fused backward follows the MLP
+        # fast-grads knob: without it, cotangent matmuls stay f32
+        # (value-preserving — the protocol-default numerics, fused)
+        fused_bwd_f32 = not cfg.eff_fast_mlp
         packed = pack_render_params(params['coarse'], cfg.nerf, nf_kp,
                                     nf_view, cutoff_dist)
         m_all, aux = pack_ray_data(rays_d[:, None, :], skts, framecodes)
-        net = lambda p, S: fused_apply(cfg.nerf, S, packed, p, m_all,
-                                       aux, tau)
+        net = lambda p, S: fused_apply(cfg.nerf, S, fused_bwd_f32, packed,
+                                       p, m_all, aux, tau)
     else:
         encoded = encode_inputs(cfg, pts, rays_d[:, None, :], kp_batch,
                                 skts, bones, cutoff_dist, tau, alpha_sched)
@@ -367,7 +371,8 @@ def render_rays(params: Dict[str, Any],
                                               nf_view, cutoff_dist)
                 _, aux_f = pack_ray_data(rays_d[:, None, :], skts, fc_fine)
                 pts_cat = jnp.concatenate([pts, pts_is], axis=1)
-                raw_all = fused_apply(cfg.nerf, pts_cat.shape[1], packed_f,
+                raw_all = fused_apply(cfg.nerf, pts_cat.shape[1],
+                                      fused_bwd_f32, packed_f,
                                       pts_cat, m_all, aux_f, tau)
             else:
                 raw_is = net(pts_is, pts_is.shape[1])

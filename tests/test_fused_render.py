@@ -77,11 +77,13 @@ def test_fused_pts_kernel_matches_xla(rng):
                                atol=3e-2, rtol=3e-2)
 
 
-def test_fused_apply_vjp_matches_oracle(rng):
+@pytest.mark.parametrize('bwd_f32', [False, True])
+def test_fused_apply_vjp_matches_oracle(rng, bwd_f32):
     """The hand-written backward kernel vs jax.grad through a pure-jnp
     replica of the SAME tile math. Weight/input grads must agree to
     cotangent-rounding tolerance (the oracle's autodiff rounds cotangents
-    to bf16 at every cast site; the kernel rounds at matmul inputs)."""
+    to bf16 at every cast site; the bf16 kernel flavor rounds at matmul
+    inputs, the f32 flavor never rounds them)."""
     import anerf_tpu.kernels.fused_render as fr
     cfg, params, batch, pts, rays_d, packed, m_all, aux, pr = _fused_setup(
         rng)
@@ -99,8 +101,8 @@ def test_fused_apply_vjp_matches_oracle(rng):
         return jnp.sum(out.reshape(R, S, fr.LANE)[:, :, :4] * gw)
 
     def fused(packed_in, pts_in, m_in, aux_in):
-        out = fr.fused_apply(cfg.nerf, S, packed_in, pts_in, m_in, aux_in,
-                             tau)
+        out = fr.fused_apply(cfg.nerf, S, bwd_f32, packed_in, pts_in,
+                             m_in, aux_in, tau)
         return jnp.sum(out * gw)
 
     lo, go = jax.value_and_grad(oracle, argnums=(0, 1, 2, 3))(
@@ -177,3 +179,50 @@ def test_fused_render_matches_xla(rng):
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_render_rays_fused_f32_grads_match_xla_default(rng):
+    """Fused path at default numerics (fast_grads off -> f32 cotangent
+    matmuls in the backward kernel) vs the XLA default path: gradients
+    w.r.t. the MLP params and the skeleton transforms must agree to the
+    bf16-forward tolerance. This is the value-preserving flavor that
+    makes --fused_kernel a protocol-default-numerics candidate."""
+    import dataclasses
+    from anerf_tpu.render.raycaster import render_rays
+    args, cfg, params, pose = flagship_tiny(rng)
+    assert not cfg.fast_grads and cfg.use_fused is False
+    cfg_f = dataclasses.replace(cfg, use_fused=True)
+    batch = synthetic_batch(rng, pose, n_rays=16, n_images=4)
+    pr = lambda k: batch[k][batch['pose_idx']]
+    key = jax.random.PRNGKey(3)
+    target = jax.random.uniform(jax.random.PRNGKey(5), (16, 3))
+
+    def loss(c, p, skts):
+        out = render_rays(p, c, batch['rays'], pr('kp3d'), skts,
+                          pr('bones'), pr('cyls'),
+                          cam_idxs=batch['cam_idxs'], rng=key,
+                          tau=jnp.float32(35.0))
+        return jnp.mean((out['rgb_map'] - target) ** 2)
+
+    g_xla = jax.grad(loss, argnums=(1, 2))(cfg, params, pr('skts'))
+    g_fus = jax.grad(loss, argnums=(1, 2))(cfg_f, params, pr('skts'))
+
+    def relmax(a, b):
+        # bf16-forward tolerance: tiny-magnitude leaves (the fine net's
+        # barely-hit layers, grads ~1e-8) are noise-dominated, so floor
+        # the denominator well above the f32 noise floor
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.abs(a).max(), 1e-7)
+        return np.abs(a - b).max() / denom
+
+    leaves_x, tree = jax.tree_util.tree_flatten_with_path(g_xla[0])
+    leaves_f = jax.tree_util.tree_leaves(g_fus[0])
+    for (path, lx), lf in zip(leaves_x, leaves_f):
+        name = jax.tree_util.keystr(path)
+        if 'cutoff_dist' in name:
+            # zero by design in the fused VJP (never trained; the XLA
+            # path differentiates it incidentally)
+            assert not np.any(np.asarray(lf))
+            continue
+        assert relmax(lx, lf) < 0.12, (name, relmax(lx, lf))
+    assert relmax(g_xla[1], g_fus[1]) < 0.12   # pose path (skts)
