@@ -214,6 +214,26 @@ class TrainConfig:
     cull_ratio: float = 0.0
     cull_margin: float = 0.1           # widen keep region vs cutoff radius
 
+    # --- parsed-but-dead reference flags, accepted for drop-in args.txt /
+    # config compatibility. Each is defined by the reference parser
+    # (run_nerf.py:184-488) and consumed NOWHERE in the reference code
+    # (verified by grep; tests/test_config.py:test_flag_surface_covers_
+    # reference audits this list against the reference source). They are
+    # ignored here too.
+    precrop_iters: int = 0             # vanilla-NeRF leftovers
+    precrop_frac: float = 0.5
+    opt_posecode: bool = False         # abandoned per-pose code idea
+    use_bgnet: bool = False            # abandoned background-net family
+    bgnet_stop: int = 500000
+    bgnet_reg: float = 0.01
+    use_bgfill: bool = False
+    use_uncertainty: bool = False
+    use_lbsnet: bool = False           # abandoned LBS-net family
+    lbsnet_type: str = 'default'
+    n_lbs: int = 1
+    multires_lbs: int = 10
+    multires_lbsviews: int = 4
+
 
 _BOOL_TRUE = {'true', '1', 'yes', 'y'}
 _BOOL_FALSE = {'false', '0', 'no', 'n'}

@@ -97,3 +97,24 @@ def test_lr_decay_schedule_matches_reference():
     # mixamo recipe: decay 500000, unit 1 -> continuous decay by step
     s2 = decay_schedule(5e-4, 500000, 0.1, 1)
     assert np.isclose(float(s2(250000)), 5e-4 * 0.1 ** 0.5)
+
+
+REF_RUN_NERF = '/root/reference/run_nerf.py'
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_RUN_NERF),
+                    reason='reference not mounted')
+def test_flag_surface_covers_reference():
+    """Every flag the reference parser defines (run_nerf.py:184-488) is a
+    TrainConfig field — live ones wired, dead ones annotated — so any
+    reference args.txt/config.txt loads without edits. Regex-parsed from
+    the reference source because configargparse isn't installed here."""
+    import dataclasses
+    import re
+
+    src = open(REF_RUN_NERF).read()
+    flags = re.findall(r"add_argument\(\s*['\"]--([A-Za-z0-9_]+)['\"]", src)
+    assert len(flags) > 120            # the parser really was found
+    fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    missing = sorted(set(flags) - fields)
+    assert not missing, f'reference flags without a config field: {missing}'
