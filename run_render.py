@@ -21,6 +21,10 @@ import numpy as np
 
 def config_parser():
     p = argparse.ArgumentParser()
+    p.add_argument('--config', type=str, default=None,
+                   help='render config txt (reference configargparse '
+                        'format, key = value per line; CLI flags override '
+                        '— mirrors /root/reference/run_render.py:29)')
     p.add_argument('--nerf_args', type=str, required=True,
                    help='path to args.txt of the trained experiment')
     p.add_argument('--ckptpath', type=str, required=True,
@@ -445,8 +449,37 @@ def render_mesh_mode(args, cfg, params, src, mode_kwargs, tau,
             print(f'saved {opath}')
 
 
+def _argv_from_config(path):
+    """Expand a reference-format render config txt (key = value) into argv
+    tokens. Prepended before the real CLI argv so explicit flags override
+    (argparse last-wins). Booleans follow the reference's configargparse
+    semantics (true/false words); list values split on whitespace."""
+    tokens = []
+    with open(path) as f:
+        for line in f:
+            line = line.split('#', 1)[0].strip()
+            if not line or '=' not in line:
+                continue
+            key, val = (s.strip() for s in line.split('=', 1))
+            if key == 'config':
+                continue
+            if val.lower() in ('true', 'false'):
+                if val.lower() == 'true':
+                    tokens.append(f'--{key}')
+                continue
+            tokens.append(f'--{key}')
+            tokens.extend(val.replace('[', ' ').replace(']', ' ')
+                          .replace(',', ' ').split())
+    return tokens
+
+
 if __name__ == '__main__':
-    _args = config_parser().parse_args()
+    import sys
+    _argv = sys.argv[1:]
+    if '--config' in _argv:
+        _cfg_path = _argv[_argv.index('--config') + 1]
+        _argv = _argv_from_config(_cfg_path) + _argv
+    _args = config_parser().parse_args(_argv)
     if _args.server:
         serve(_args)
     else:

@@ -260,3 +260,30 @@ def test_render_from_reference_tar(trained, monkeypatch, tmp_path):
     out = rr.run_render(args)
     assert out['rgbs'].shape[0] == 6
     assert np.isfinite(out['rgbs']).all()
+
+
+def test_config_file_expansion(tmp_path):
+    """--config txt (reference run_render.py:29 configargparse format)
+    expands into argv with CLI flags overriding file values."""
+    import run_render as rr
+    cfg = tmp_path / 'render.txt'
+    cfg.write_text(
+        'nerf_args = /x/args.txt\n'
+        'ckptpath = /x/ckpt\n'
+        'dataset = surreal\n'
+        'entry = female\n'
+        'runname = fromfile\n'
+        'render_type = bullet\n'
+        'white_bkgd = True\n'
+        'eval = False\n'
+        'selected_idxs = 0 2 5\n'
+        '# comment line\n')
+    tokens = rr._argv_from_config(str(cfg))
+    args = rr.config_parser().parse_args(
+        tokens + ['--runname', 'cli_wins'])
+    assert args.nerf_args == '/x/args.txt'
+    assert args.dataset == 'surreal'
+    assert args.white_bkgd is True
+    assert args.eval is False            # false bool never becomes a flag
+    assert args.selected_idxs == [0, 2, 5]
+    assert args.runname == 'cli_wins'    # CLI overrides the file
