@@ -287,3 +287,34 @@ def test_config_file_expansion(tmp_path):
     assert args.eval is False            # false bool never becomes a flag
     assert args.selected_idxs == [0, 2, 5]
     assert args.runname == 'cli_wins'    # CLI overrides the file
+
+
+def test_render_mesh_reference_flags(tmp_path, monkeypatch):
+    """render_mesh.py with the REFERENCE flag surface (-ww/-hh,
+    --basedir/--expname derive mesh + output dirs, --skip)."""
+    import sys
+
+    from anerf_tpu.utils.marching import save_ply
+
+    mesh_dir = tmp_path / 'render_output' / 'm1' / 'meshes'
+    mesh_dir.mkdir(parents=True)
+    # one tetrahedron per "pose"
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    for i in range(3):
+        save_ply(str(mesh_dir / f'{i:03d}.ply'), verts + 0.1 * i, faces)
+
+    import render_mesh
+    monkeypatch.setattr(sys, 'argv', [
+        'render_mesh.py', '-ww', '48', '-hh', '32', '--expname', 'm1',
+        '--basedir', str(tmp_path / 'render_output'), '--skip', '2',
+        '--step_deg', '120'])
+    render_mesh.main()
+
+    outdir = tmp_path / 'render_output' / 'm1' / 'mesh_render'
+    jpgs = sorted(p.name for p in outdir.glob('*.jpg'))
+    # meshes 000 and 002 (skip=2), 3 views each (360/120)
+    assert jpgs == ['000_000.jpg', '000_001.jpg', '000_002.jpg',
+                    '002_000.jpg', '002_001.jpg', '002_002.jpg']
+    import imageio
+    assert imageio.imread(outdir / '000_000.jpg').shape[:2] == (48, 48)
