@@ -338,7 +338,8 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
     }))
 
 
-def device_liveness_check(timeout_s: float = 420.0) -> str | None:
+def device_liveness_check(timeout_s: float = 300.0, retries: int = 3,
+                          retry_wait_s: float = 240.0) -> str | None:
     """Probe the accelerator in a SUBPROCESS with a hard timeout.
 
     A wedged remote-attached chip (tunnel down, or a server-side client
@@ -346,24 +347,36 @@ def device_liveness_check(timeout_s: float = 420.0) -> str | None:
     indefinitely — even `jax.devices()` never returns, so no in-process
     guard can fire. Probing in a disposable subprocess lets the bench
     emit a diagnosable JSON error line instead of hanging the driver.
+    Tunnel wedges are often transient, so a failed probe retries a few
+    times (~15 min total) before giving up — a round-end bench surviving
+    a brief outage beats an honest-but-avoidable zero.
     Returns None when healthy, else a short error string.
     """
     import subprocess
     import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, '-c',
-             'import jax, jax.numpy as jnp\n'
-             'x = jnp.ones((64, 64))\n'
-             'assert float((x @ x).sum()) == 64.0 * 64 * 64\n'
-             'print("LIVE", jax.devices()[0].platform)'],
-            capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return f'device unreachable: first backend touch hung >{timeout_s:.0f}s'
-    if r.returncode != 0 or 'LIVE' not in r.stdout:
-        return ('device probe failed: '
-                + (r.stderr or r.stdout).strip().splitlines()[-1][:160])
-    return None
+    import time as _time
+    err = None
+    for attempt in range(retries):
+        if attempt:
+            _time.sleep(retry_wait_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax, jax.numpy as jnp\n'
+                 'x = jnp.ones((64, 64))\n'
+                 'assert float((x @ x).sum()) == 64.0 * 64 * 64\n'
+                 'print("LIVE", jax.devices()[0].platform)'],
+                capture_output=True, text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            err = (f'device unreachable: first backend touch hung '
+                   f'>{timeout_s:.0f}s ({attempt + 1}/{retries} probes)')
+            continue
+        if r.returncode != 0 or 'LIVE' not in r.stdout:
+            err = ('device probe failed: '
+                   + (r.stderr or r.stdout).strip().splitlines()[-1][:160])
+            continue
+        return None
+    return err
 
 
 def main():
