@@ -267,11 +267,18 @@ def scaling_table(n_devices: int):
 
 
 def quality_ab(steps: int, styles, seeds, cull_ratio: float,
-               fast_grads: bool):
+               fast_grads: bool, state_path: str | None = None):
     """Automated cull-vs-nocull quality A/B (VERDICT r2 #1): trains the
     protocol-default and the culled config on each synthetic fixture
     family with a deterministic loader and reports val PSNR side by side.
     One JSON line; ~4-8 min per (style, seed, config) on a v5e chip.
+
+    Each finished cell is appended to `state_path` (JSONL) as it
+    completes, and cells already present there are skipped — so a sweep
+    killed mid-run (tunnel wedge, timeout) resumes where it stopped
+    instead of burning hours of chip time again. The key includes the
+    protocol knobs (steps/cull/fast) so stale state can't poison a
+    different sweep.
     """
     import os
     import tempfile
@@ -280,6 +287,19 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
     from anerf_tpu.data.fixtures import make_synthetic_h5
     from anerf_tpu.data.surreal import SurrealDataset
     from anerf_tpu.train.loop import run_validation, train
+
+    if state_path is None:
+        state_path = os.path.join(tempfile.gettempdir(),
+                                  'bench_qab_state.jsonl')
+    done = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                done[tuple(row.get('key', ()))] = row
 
     rows = []
     for style in styles:
@@ -293,6 +313,12 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
             for label, over in (('control', {}),
                                 ('culled', dict(cull_ratio=cull_ratio,
                                                 fast_grads=fast_grads))):
+                key = [style, int(seed), label, int(steps),
+                       float(cull_ratio), bool(fast_grads)]
+                if tuple(key) in done:
+                    rows.append(done[tuple(key)])
+                    print({'resumed': True, **done[tuple(key)]}, flush=True)
+                    continue
                 args = TrainConfig(
                     expname=f'qab_{style}_{seed}_{label}', basedir=d,
                     dataset_type=('h5',), subject=(h5,),
@@ -313,14 +339,18 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
                 ctx = train(args, ds, n_iters=steps)
                 dt = time.perf_counter() - t0
                 val = run_validation(ctx, steps, max_images=3)
-                rows.append({'style': style, 'seed': seed, 'config': label,
-                             'psnr': round(float(val['psnr']), 2),
-                             'fg_psnr': round(float(val.get(
-                                 'fg_psnr', float('nan'))), 2),
-                             'fg_ssim': round(float(val.get(
-                                 'fg_ssim', float('nan'))), 3),
-                             'rays_per_s': round(steps * 2048 / dt, 1)})
-                print(rows[-1], flush=True)
+                row = {'style': style, 'seed': seed, 'config': label,
+                       'psnr': round(float(val['psnr']), 2),
+                       'fg_psnr': round(float(val.get(
+                           'fg_psnr', float('nan'))), 2),
+                       'fg_ssim': round(float(val.get(
+                           'fg_ssim', float('nan'))), 3),
+                       'rays_per_s': round(steps * 2048 / dt, 1),
+                       'key': key}
+                rows.append(row)
+                with open(state_path, 'a') as f:
+                    f.write(json.dumps(row) + '\n')
+                print(row, flush=True)
 
     deltas = []
     for style in styles:
@@ -394,6 +424,10 @@ def main():
                    default=['blobs', 'limbs', 'clutter'])
     p.add_argument('--ab_seeds', nargs='+', type=int, default=[0])
     p.add_argument('--ab_cull', type=float, default=0.125)
+    p.add_argument('--ab_state', type=str, default=None,
+                   help='JSONL resume file for --quality_ab (default '
+                        '<tmpdir>/bench_qab_state.jsonl); finished cells '
+                        'are skipped on re-run')
     a = p.parse_args()
 
     from anerf_tpu.utils.device_lock import acquire
@@ -408,7 +442,7 @@ def main():
 
     if a.quality_ab:
         return quality_ab(a.ab_steps, a.ab_styles, a.ab_seeds, a.ab_cull,
-                          fast_grads=True)
+                          fast_grads=True, state_path=a.ab_state)
     if a.n_devices:
         return scaling_table(a.n_devices)
 
