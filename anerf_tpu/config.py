@@ -197,6 +197,13 @@ class TrainConfig:
     # reduction order differs ~1 ulp) at lower HBM traffic. Ignored when
     # fast_pe / fast_grads / hifi_pe lower the PE backward precision.
     remat_pe: bool = False
+    # stochastically-rounded bf16 MLP activation cotangents: fast_mlp
+    # speed with UNBIASED rounding (jax-graph analog of
+    # pltpu.stochastic_round), targeting the systematic round-to-nearest
+    # bias behind fast_grads' ~2 dB background loss. Experimental — a
+    # numerics deviation that needs the multi-fixture quality protocol
+    # before any default flip. PE backward stays f32 unless fast_pe set.
+    sr_grads: bool = False
     # opt-in fused Pallas render kernel (transform+PE+MLP, custom-VJP
     # backward; kernels/fused_render.py). Requires the standard encoder
     # family + bfloat16. The backward's cotangent precision follows the

@@ -131,19 +131,120 @@ def _dense_mixed_bwd(compute_dtype, res, g):
 _dense_mixed.defvjp(_dense_mixed_fwd, _dense_mixed_bwd)
 
 
+def _sr_noise_bits(key: jnp.ndarray, shape) -> jnp.ndarray:
+    """16 uniform noise bits per element from a CHEAP counter hash.
+
+    threefry (`jax.random.bits`) costs ~40 integer rounds per element and
+    measured a 2.3x SLOWDOWN of the whole train step when emitted at the
+    two cotangent cast sites per dense layer (PERF.md round-3 addendum).
+    Stochastic rounding only needs decorrelated-from-the-data uniform
+    bits, not crypto-strength: a murmur3-style finalizer over
+    (element index * odd constant + key-derived salt) is 6 VPU ops per
+    element and passes the unbiasedness tests to the same tolerance.
+    """
+    n = 1
+    for s in shape:
+        n *= s
+    kd = (key if key.dtype == jnp.uint32
+          else jax.random.key_data(key)).astype(jnp.uint32).reshape(-1)
+
+    def fmix(h):  # murmur3 finalizer: full 32-bit avalanche
+        h ^= h >> 16
+        h *= jnp.uint32(0x85EBCA6B)
+        h ^= h >> 13
+        h *= jnp.uint32(0xC2B2AE35)
+        h ^= h >> 16
+        return h
+
+    # avalanche the salt FIRST (scalar, free): raw PRNGKey data can be
+    # (0, seed) with sequential seeds, and a weakly-mixed salt leaves a
+    # measurable bias in the per-element noise mean (caught by
+    # test_sr_cast_unbiased_and_exact_on_representables)
+    salt = fmix(kd[0] * jnp.uint32(0x9E3779B9) ^ kd[-1])
+    h = (jax.lax.iota(jnp.uint32, n).reshape(shape)
+         * jnp.uint32(2654435761) + salt)
+    return fmix(h) & jnp.uint32(0xFFFF)
+
+
+def _sr_cast(x: jnp.ndarray, key: jnp.ndarray,
+             dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Stochastically-rounded f32 -> bf16 cast: E[sr_cast(x)] == x.
+
+    bf16 shares f32's exponent/sign layout, so truncating the low 16
+    mantissa bits IS the round-toward-zero bf16 value; adding uniform
+    noise in those 16 bits before truncating rounds up with probability
+    equal to the dropped fraction — the classic unbiased SR-by-truncation
+    construction (pltpu.stochastic_round is the in-kernel analog; this is
+    the XLA-graph version, fusable into the producing matmul's epilogue).
+    Finite inputs assumed (gradient tensors here are NaN-backfilled
+    upstream); an inf/nan input may perturb its payload bits.
+    """
+    if dtype != jnp.bfloat16:
+        return x.astype(dtype)
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    noise = _sr_noise_bits(key, x.shape)
+    return jax.lax.bitcast_convert_type(
+        (bits + noise) & jnp.uint32(0xFFFF0000),
+        jnp.float32).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _dense_mixed_sr(w, b, x, key, compute_dtype):
+    """Forward-identical twin of _dense_mixed whose backward keeps
+    activation cotangents in compute_dtype with STOCHASTIC rounding at
+    both bf16-producing sites (the incoming-g cast and the input-grad
+    matmul result). Kills the systematic round-to-nearest bias that makes
+    plain --fast_grads lose ~2 dB of background PSNR (tiny
+    density-suppressing gradients on empty-space samples all rounding the
+    same way — PERF.md); unbiased rounding makes them survive in
+    expectation. Weight/bias grads accumulate in f32 exactly as the
+    deterministic paths do."""
+    y = x.astype(compute_dtype) @ w.astype(compute_dtype)
+    return y.astype(jnp.float32) + b
+
+
+def _dense_mixed_sr_fwd(w, b, x, key, compute_dtype):
+    return _dense_mixed_sr(w, b, x, key, compute_dtype), (w, x, key)
+
+
+def _dense_mixed_sr_bwd(compute_dtype, res, g):
+    import numpy as np
+    w, x, key = res
+    k1, k2 = jax.random.split(key)
+    g_lo = _sr_cast(g, k1, compute_dtype)
+    w_lo = w.astype(compute_dtype)
+    gx_f32 = jnp.einsum('...o,io->...i', g_lo, w_lo,
+                        preferred_element_type=jnp.float32)
+    gx = (_sr_cast(gx_f32, k2, x.dtype) if x.dtype == jnp.bfloat16
+          else gx_f32.astype(x.dtype))
+    gw = jnp.einsum('...i,...o->io', x.astype(compute_dtype), g_lo,
+                    preferred_element_type=jnp.float32)
+    gb = g.sum(tuple(range(g.ndim - 1)))
+    return (gw.astype(w.dtype), gb, gx,
+            np.zeros(key.shape, jax.dtypes.float0))
+
+
+_dense_mixed_sr.defvjp(_dense_mixed_sr_fwd, _dense_mixed_sr_bwd)
+
+
 def _dense(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
-           compute_dtype=None, fast_grads: bool = False) -> jnp.ndarray:
+           compute_dtype=None, fast_grads: bool = False,
+           sr_key: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Dense layer: bf16 MXU matmul with f32 bias-add accumulation.
 
     fast_grads=True routes through the custom VJP that keeps activation
     cotangents in compute_dtype (~18% faster full train step, measured
     ~2 dB background-PSNR cost on the synthetic recipe — see PERF.md);
-    default is the standard f32-cotangent backward.
+    default is the standard f32-cotangent backward. sr_key (with
+    fast_grads) selects the stochastically-rounded cotangent twin
+    (--sr_grads): same low-precision speed, unbiased rounding.
     """
     w, b = p['w'], p['b']
     if compute_dtype is None:
         return x @ w + b
     if fast_grads:
+        if sr_key is not None:
+            return _dense_mixed_sr(w, b, x, sr_key, compute_dtype)
         return _dense_mixed(w, b, x, compute_dtype)
     y = x.astype(compute_dtype) @ w.astype(compute_dtype)
     return y.astype(jnp.float32) + b
@@ -152,7 +253,8 @@ def _dense(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
 def forward_density(params: Dict[str, Any], cfg: NeRFConfig,
                     input_pts: jnp.ndarray,
                     compute_dtype=jnp.bfloat16,
-                    fast_grads: bool = False) -> jnp.ndarray:
+                    fast_grads: bool = False,
+                    sr_key: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Density trunk: 8 layers, ReLU, skip concat (nerf.py:94-102).
 
     input_pts: (..., dnet_input). Returns trunk features (..., W).
@@ -161,7 +263,8 @@ def forward_density(params: Dict[str, Any], cfg: NeRFConfig,
     """
     h = input_pts
     for i, layer in enumerate(params['pts_linears']):
-        h = _dense(layer, h, compute_dtype, fast_grads)
+        k = None if sr_key is None else jax.random.fold_in(sr_key, i)
+        h = _dense(layer, h, compute_dtype, fast_grads, sr_key=k)
         h = jax.nn.relu(h)
         if compute_dtype is not None:
             # store activations (and therefore their cotangents) in the
@@ -196,10 +299,14 @@ def forward_view(params: Dict[str, Any], cfg: NeRFConfig,
                  input_views: jnp.ndarray, h: jnp.ndarray,
                  framecodes: Optional[jnp.ndarray] = None,
                  compute_dtype=jnp.bfloat16,
-                 fast_grads: bool = False) -> jnp.ndarray:
+                 fast_grads: bool = False,
+                 sr_key: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Radiance head (nerf.py:114-131). framecodes: (..., framecode_ch)
     already gathered per-sample, or None."""
-    feature = _dense(params['feature_linear'], h, compute_dtype, fast_grads)
+    def sk(i):
+        return None if sr_key is None else jax.random.fold_in(sr_key, 100 + i)
+    feature = _dense(params['feature_linear'], h, compute_dtype, fast_grads,
+                     sr_key=sk(0))
     if cfg.use_framecode:
         assert framecodes is not None
         input_views = jnp.concatenate([input_views, framecodes], -1)
@@ -207,11 +314,13 @@ def forward_view(params: Dict[str, Any], cfg: NeRFConfig,
         feature = feature.astype(compute_dtype)
         input_views = input_views.astype(compute_dtype)
     hv = jnp.concatenate([feature, input_views], -1)
-    for layer in params['views_linears']:
-        hv = jax.nn.relu(_dense(layer, hv, compute_dtype, fast_grads))
+    for i, layer in enumerate(params['views_linears']):
+        hv = jax.nn.relu(_dense(layer, hv, compute_dtype, fast_grads,
+                                sr_key=sk(1 + i)))
         if compute_dtype is not None:
             hv = hv.astype(compute_dtype)
-    return _dense(params['rgb_linear'], hv, compute_dtype, fast_grads)
+    return _dense(params['rgb_linear'], hv, compute_dtype, fast_grads,
+                  sr_key=sk(50))
 
 
 def apply_nerf(params: Dict[str, Any], cfg: NeRFConfig,
@@ -219,17 +328,25 @@ def apply_nerf(params: Dict[str, Any], cfg: NeRFConfig,
                framecodes: Optional[jnp.ndarray] = None,
                compute_dtype=jnp.bfloat16,
                fast_grads: bool = False,
-               alpha_f32: bool = False) -> jnp.ndarray:
+               alpha_f32: bool = False,
+               sr_key: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Full forward: (..., dnet_in), (..., views_in) -> raw (..., 4)
     = [rgb_logits(3), sigma(1)] (nerf.py:133-148).
 
     alpha_f32: keep the default f32-cotangent backward on the alpha
-    (density) head even when fast_grads lowers the rest to bf16."""
-    h = forward_density(params, cfg, input_pts, compute_dtype, fast_grads)
+    (density) head even when fast_grads lowers the rest to bf16.
+    sr_key (with fast_grads): stochastically-rounded bf16 cotangents
+    (--sr_grads) — forward math identical to fast_grads."""
+    def sk(i):
+        return None if sr_key is None else jax.random.fold_in(sr_key, 200 + i)
+    h = forward_density(params, cfg, input_pts, compute_dtype, fast_grads,
+                        sr_key=sr_key)
     if cfg.use_viewdirs:
         alpha = _dense(params['alpha_linear'], h, compute_dtype,
-                       fast_grads and not alpha_f32)
+                       fast_grads and not alpha_f32,
+                       sr_key=None if alpha_f32 else sk(0))
         rgb = forward_view(params, cfg, input_views, h, framecodes,
-                           compute_dtype, fast_grads)
+                           compute_dtype, fast_grads, sr_key=sr_key)
         return jnp.concatenate([rgb, alpha], -1)
-    return _dense(params['output_linear'], h, compute_dtype, fast_grads)
+    return _dense(params['output_linear'], h, compute_dtype, fast_grads,
+                  sr_key=sk(1))

@@ -96,7 +96,7 @@ def build_render_config(args: TrainConfig, data_attrs: Dict[str, Any]
         compute_dtype=args.compute_dtype, fast_grads=args.fast_grads,
         fast_pe=args.fast_pe, fast_mlp=args.fast_mlp,
         alpha_f32=args.alpha_f32, hifi_pe=args.hifi_pe,
-        remat_pe=args.remat_pe,
+        remat_pe=args.remat_pe, sr_grads=args.sr_grads,
         n_keep=_n_keep(args, skel), cull_margin=args.cull_margin,
         use_fused=args.fused_kernel)
     if cfg.use_fused:

@@ -67,6 +67,14 @@ class RenderConfig:
     fast_pe: Optional[bool] = None
     fast_mlp: Optional[bool] = None
     alpha_f32: bool = False       # f32 cotangents on the alpha head
+    # stochastically-rounded bf16 MLP activation cotangents (--sr_grads):
+    # fast_mlp speed with UNBIASED rounding at both bf16-producing
+    # backward sites, targeting the systematic round-to-nearest bias
+    # behind fast_grads' ~2 dB background loss (PERF.md). Experimental:
+    # forward math identical to fast_mlp; PE backward stays at whatever
+    # the PE knobs select. Needs an rng at train time (eval is
+    # backward-free, so the deterministic path serves it).
+    sr_grads: bool = False
     hifi_pe: bool = False         # f32-forward / bf16-backward PE
     # f32-forward / f32-backward PE with rematerialized residuals: same
     # gradient VALUES as the plain-autodiff default (f32 math throughout;
@@ -202,7 +210,8 @@ def encode_inputs(cfg: RenderConfig,
 
 def run_network(cfg: RenderConfig, params: Dict[str, Any],
                 encoded: Dict[str, jnp.ndarray],
-                framecodes: Optional[jnp.ndarray]) -> jnp.ndarray:
+                framecodes: Optional[jnp.ndarray],
+                sr_key: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Concatenate encodings and apply the MLP over all (R, S) points
     (raycasters.py:557-577, without the netchunk loop)."""
     parts = [encoded['v']]
@@ -214,9 +223,12 @@ def run_network(cfg: RenderConfig, params: Dict[str, Any],
     if framecodes is not None:
         fc = jnp.broadcast_to(framecodes[:, None],
                               pts_in.shape[:2] + (framecodes.shape[-1],))
+    use_sr = cfg.sr_grads and sr_key is not None
     return apply_nerf(params, cfg.nerf, pts_in, views_in, fc,
-                      compute_dtype=cfg.dtype, fast_grads=cfg.eff_fast_mlp,
-                      alpha_f32=cfg.alpha_f32)
+                      compute_dtype=cfg.dtype,
+                      fast_grads=cfg.eff_fast_mlp or use_sr,
+                      alpha_f32=cfg.alpha_f32,
+                      sr_key=sr_key if use_sr else None)
 
 
 def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,
@@ -292,7 +304,7 @@ def render_rays(params: Dict[str, Any],
     params: {'coarse', 'fine', 'cutoff_dist'} pytree.
     Returns dict with rgb_map/disp_map/acc_map/alpha (+ *0 coarse outputs).
     """
-    keys = jax.random.split(rng, 5) if rng is not None else [None] * 5
+    keys = jax.random.split(rng, 7) if rng is not None else [None] * 7
 
     rays_o, rays_d = ray_batch[:, 0:3], ray_batch[:, 3:6]
     near, far = ray_batch[:, 6:7], ray_batch[:, 7:8]
@@ -341,7 +353,8 @@ def render_rays(params: Dict[str, Any],
     if cfg.use_fused:
         raw = net(pts, pts.shape[1])
     else:
-        raw = run_network(cfg, params['coarse'], encoded, framecodes)
+        raw = run_network(cfg, params['coarse'], encoded, framecodes,
+                          sr_key=keys[5])
     ret = raw2outputs(raw, z_vals, rays_d, cfg.raw_noise_std, keys[2],
                       cfg.density_scale, act_fn, cfg.rgb_eps)
 
@@ -385,13 +398,15 @@ def render_rays(params: Dict[str, Any],
                 k: jnp.concatenate([encoded[k], encoded_is[k]], axis=1)
                 if encoded[k] is not None else None
                 for k in encoded}
-            raw_all = run_network(cfg, fine_params, cat_enc, fc_fine)
+            raw_all = run_network(cfg, fine_params, cat_enc, fc_fine,
+                                  sr_key=keys[6])
         else:
             encoded_is = encode_inputs(cfg, pts_is, rays_d[:, None, :],
                                        kp_batch, skts, bones, cutoff_dist,
                                        tau, alpha_sched)
             # single-net: only the new samples go through the MLP
-            raw_is = run_network(cfg, fine_params, encoded_is, fc_fine)
+            raw_is = run_network(cfg, fine_params, encoded_is, fc_fine,
+                                 sr_key=keys[6])
             raw_all = jnp.concatenate([raw, raw_is], axis=1)
         raw_fine = take_rows(raw_all, sort_idxs)
         ret = raw2outputs(raw_fine, z_all, rays_d, cfg.raw_noise_std, keys[2],

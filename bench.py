@@ -7,8 +7,10 @@ Prints ONE JSON line:
 The north-star metric (BASELINE.md) is rays/sec/chip on the SURREAL recipe
 (N_rand 2048, 64+16 samples, multires 7/4, cutoff PE, full 8x256 MLP).
 vs_baseline divides the PROTOCOL-DEFAULT step (same sampling as the
-reference, f32 cotangents — apples-to-apples) by the derived reference
-A100 estimate of 60k train rays/s (central of the 20-120k band derived in
+reference, f32 cotangents — apples-to-apples; best of the two
+protocol-faithful implementations, XLA autodiff and the f32-cotangent
+fused Pallas backward, both reported) by the derived reference A100
+estimate of 60k train rays/s (central of the 20-120k band derived in
 BASELINE.md from measured FLOPs/ray x A100 utilization bounds,
 cross-checked against vanilla-NeRF torch throughput; the reference
 publishes no numbers). vs_baseline_headline divides the best quality-safe
@@ -457,6 +459,20 @@ def main():
     extras = {}
     state, step_fn, stacks, rpd = build(fast_grads=False)
     default_med, default_best, _ = measure(state, step_fn, stacks, rpd)
+    extras['protocol_default_xla'] = round(default_med, 1)
+    # the f32-cotangent fused Pallas backward is protocol-faithful (same
+    # sampling, f32 cotangent matmuls; only the implementation differs —
+    # grad-parity tested vs the XLA path) and measured +23% over the XLA
+    # step (PERF.md round 3), so the protocol number is the better of the
+    # two implementations; both are reported.
+    try:
+        state, step_fn, stacks, rpd = build(fused_kernel=True)
+        fused_med, _, _ = measure(state, step_fn, stacks, rpd)
+        extras['protocol_default_fused'] = round(fused_med, 1)
+        if fused_med > default_med:
+            default_med = fused_med
+    except Exception as e:
+        extras['fused_error'] = str(e)[:120]
     extras['protocol_default'] = round(default_med, 1)
     if not a.skip_fast_grads:
         state, step_fn, stacks, rpd = build(fast_grads=True,

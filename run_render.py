@@ -157,14 +157,19 @@ class RenderSession:
             from anerf_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh()
 
-    def render_once(self, args):
-        import imageio
+    def prepare(self, args):
+        """Resolve one request into render-ready pose/camera arrays.
 
+        Pure host work (mode builders + focal scaling) — no device
+        dispatch — so the server can coalesce several prepared requests
+        into ONE render_path call (`render_prepared`), amortizing the
+        pose-table upload and the per-call dispatch latency across
+        requests. Mesh requests return a marker and render individually.
+        """
         from anerf_tpu.render import modes
-        from anerf_tpu.render.render_path import render_path
 
-        cfg, params, pose_sd = self.cfg, self.params, self.pose_sd
-        nerf_args, src, data_h5 = self.nerf_args, self.src, self.data_h5
+        pose_sd = self.pose_sd
+        src = self.src
         H_native, W_native = self.native_hw
 
         mode_kwargs = dict(self.catalog.get(args.render_type, {}))
@@ -175,9 +180,8 @@ class RenderSession:
         if rtype == 'mesh':
             # meshes have no render resolution; overlays composite onto
             # the natively-stored GT frames
-            return render_mesh_mode(args, cfg, params, src, mode_kwargs,
-                                    self.tau, data_h5=data_h5,
-                                    hw=(H_native, W_native))
+            return {'rtype': rtype, 'args': args,
+                    'mode_kwargs': mode_kwargs}
 
         if args.render_res:
             assert len(args.render_res) == 2, 'render_res should be (H, W)'
@@ -236,14 +240,49 @@ class RenderSession:
         if args.selected_framecode is not None:
             cam_idxs = np.full_like(cam_idxs, args.selected_framecode)
 
+        return {'rtype': rtype, 'args': args, 'mode_kwargs': mode_kwargs,
+                'H': H, 'W': W, 'data': data, 'cam_idxs': cam_idxs}
+
+    def render_prepared(self, preps):
+        """Render one or more prepared requests in a SINGLE render_path
+        dispatch (they must share (H, W) — callers group by resolution).
+        Returns one output dict per prep, split back out of the stacked
+        render_path result."""
+        from anerf_tpu.render.render_path import render_path
+
+        nerf_args = self.nerf_args
+        H, W = preps[0]['H'], preps[0]['W']
+        assert all((p['H'], p['W']) == (H, W) for p in preps)
+        counts = [len(p['data']['c2ws']) for p in preps]
+
+        def cat(key, getter=None):
+            parts = [getter(p) if getter else p['data'][key] for p in preps]
+            if any(x is None for x in parts):
+                return None
+            return np.concatenate([np.asarray(x) for x in parts], 0)
+
         out = render_path(
-            params, cfg, data['c2ws'], (H, W, data['focals']),
-            data['kp3d'], data['skts'], data.get('bones'),
-            cam_idxs=cam_idxs, tau=self.tau, chunk=nerf_args.chunk,
+            self.params, self.cfg, cat('c2ws'),
+            (H, W, cat('focals')), cat('kp3d'), cat('skts'),
+            cat('bones', lambda p: p['data'].get('bones')),
+            cam_idxs=cat('cam_idxs', lambda p: p['cam_idxs']),
+            tau=self.tau, chunk=nerf_args.chunk,
             ext_scale=nerf_args.ext_scale, white_bkgd=True,
             use_framecode_idx=nerf_args.opt_framecode, mesh=self.mesh,
             verbose=True)
 
+        outs, off = [], 0
+        for n in counts:
+            outs.append({k: v[off:off + n] for k, v in out.items()})
+            off += n
+        return outs
+
+    def finish(self, args, prep, out):
+        """Per-request post-processing: write pngs/mp4/bboxes, evaluate."""
+        import imageio
+
+        rtype, mode_kwargs = prep['rtype'], prep['mode_kwargs']
+        H, W = prep['H'], prep['W']
         outdir = os.path.join(args.outputdir, args.dataset, args.runname)
         os.makedirs(os.path.join(outdir, 'image'), exist_ok=True)
         if not args.no_save:
@@ -265,9 +304,19 @@ class RenderSession:
                 raise ValueError(
                     f'--eval is only supported for {EVAL_MODES}; {rtype} '
                     f'outputs do not map 1:1 onto GT frames')
-            out['eval'] = evaluate(args, out, data_h5, mode_kwargs, outdir,
-                                   H, W)
+            out['eval'] = evaluate(args, out, self.data_h5, mode_kwargs,
+                                   outdir, H, W)
         return out
+
+    def render_once(self, args):
+        prep = self.prepare(args)
+        if prep['rtype'] == 'mesh':
+            return render_mesh_mode(args, self.cfg, self.params, self.src,
+                                    prep['mode_kwargs'], self.tau,
+                                    data_h5=self.data_h5,
+                                    hw=self.native_hw)
+        out = self.render_prepared([prep])[0]
+        return self.finish(args, prep, out)
 
 
 def run_render(args):
@@ -311,36 +360,124 @@ def serve(args, stdin=None, stdout=None):
            'dataset': args.dataset, 'entry': args.entry,
            'serve_keys': sorted(SERVE_KEYS)})
 
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
+    def has_pending(stream):
+        """More input immediately available? (select for real pipes;
+        in-memory test streams report whatever is already written)"""
         try:
-            req = json.loads(line)
-            if not isinstance(req, dict):
-                raise ValueError('request must be a JSON object')
-            if req.get('cmd') == 'quit':
-                reply({'ok': True, 'bye': True})
+            fd = stream.fileno()
+        except Exception:
+            pos = stream.tell()
+            more = bool(stream.readline())
+            stream.seek(pos)
+            return more
+        import select
+        return bool(select.select([fd], [], [], 0)[0])
+
+    def parse(line):
+        req = json.loads(line)
+        if not isinstance(req, dict):
+            raise ValueError('request must be a JSON object')
+        if req.get('cmd') == 'quit':
+            return 'quit'
+        bad = set(req) - SERVE_KEYS
+        if bad:
+            raise ValueError(f'unknown request fields {sorted(bad)}; '
+                             f'allowed: {sorted(SERVE_KEYS)}')
+        return argparse.Namespace(**{**vars(args), **req})
+
+    MAX_BATCH = 16  # requests coalesced into one dispatch
+    quitting = False
+    while not quitting:
+        line = stdin.readline()
+        if not line:
+            break
+        lines = [line]
+        # drain whatever is already queued: concurrent clients' requests
+        # coalesce into one render_path dispatch (shared pose-table upload
+        # + one round of dispatch latency for the whole batch)
+        while len(lines) < MAX_BATCH and has_pending(stdin):
+            nxt = stdin.readline()
+            if not nxt:
                 break
-            bad = set(req) - SERVE_KEYS
-            if bad:
-                raise ValueError(f'unknown request fields {sorted(bad)}; '
-                                 f'allowed: {sorted(SERVE_KEYS)}')
-            r_args = argparse.Namespace(**{**vars(args), **req})
-            t0 = time.perf_counter()
-            out = sess.render_once(r_args)
-            res = {'ok': True, 'runname': r_args.runname,
-                   'outdir': os.path.join(r_args.outputdir, args.dataset,
-                                          r_args.runname),
-                   'seconds': round(time.perf_counter() - t0, 3)}
-            if out is not None and 'rgbs' in out:
-                res['n_frames'] = int(len(out['rgbs']))
-            if out is not None and 'eval' in out:
-                res['eval'] = {k: float(v) for k, v in out['eval'].items()}
-        except Exception as e:                    # one bad request must not
-            res = {'ok': False,                   # kill the server
-                   'error': f'{type(e).__name__}: {e}'}
-        reply(res)
+            lines.append(nxt)
+
+        # parse all drained lines; order of replies == order of requests
+        slots = []   # ('args', ns) | ('res', reply-dict) | ('quit',)
+        for ln in lines:
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                p = parse(ln)
+                if p == 'quit':
+                    slots.append(('quit', None))
+                    quitting = True
+                    break            # ignore anything queued after quit
+                slots.append(('args', p))
+            except Exception as e:
+                slots.append(('res', {'ok': False,
+                                      'error': f'{type(e).__name__}: {e}'}))
+
+        # prepare renderable requests, grouping compatible ones (same
+        # resolution, non-mesh) for a single coalesced dispatch
+        preps, groups = {}, {}
+        for i, (kind, val) in enumerate(slots):
+            if kind != 'args':
+                continue
+            try:
+                prep = sess.prepare(val)
+            except Exception as e:
+                slots[i] = ('res', {'ok': False,
+                                    'error': f'{type(e).__name__}: {e}'})
+                continue
+            preps[i] = prep
+            if prep['rtype'] != 'mesh':
+                groups.setdefault((prep['H'], prep['W']), []).append(i)
+
+        t_batch = time.perf_counter()
+        outs = {}
+        for idxs in groups.values():
+            try:
+                for i, o in zip(idxs, sess.render_prepared(
+                        [preps[i] for i in idxs])):
+                    outs[i] = o
+            except Exception as e:
+                for i in idxs:
+                    slots[i] = ('res', {'ok': False,
+                                        'error': f'{type(e).__name__}: {e}'})
+        n_batched = len(outs)
+
+        for i, (kind, val) in enumerate(slots):
+            if kind == 'quit':
+                reply({'ok': True, 'bye': True})
+                continue
+            if kind == 'res':                     # one bad request must not
+                reply(val)                        # kill the server
+                continue
+            r_args, prep = val, preps[i]
+            try:
+                t0 = time.perf_counter()
+                if prep['rtype'] == 'mesh':
+                    out = sess.render_once(r_args)
+                else:
+                    out = sess.finish(r_args, prep, outs[i])
+                res = {'ok': True, 'runname': r_args.runname,
+                       'outdir': os.path.join(r_args.outputdir,
+                                              args.dataset, r_args.runname),
+                       'seconds': round(time.perf_counter() - t0, 3)}
+                if n_batched > 1 and i in outs:
+                    res['batched'] = n_batched
+                    res['batch_seconds'] = round(
+                        time.perf_counter() - t_batch, 3)
+                if out is not None and 'rgbs' in out:
+                    res['n_frames'] = int(len(out['rgbs']))
+                if out is not None and 'eval' in out:
+                    res['eval'] = {k: float(v)
+                                   for k, v in out['eval'].items()}
+            except Exception as e:
+                res = {'ok': False,
+                       'error': f'{type(e).__name__}: {e}'}
+            reply(res)
 
 
 # modes whose outputs correspond 1:1 to GT frames at `selected_idxs`

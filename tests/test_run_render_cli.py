@@ -226,6 +226,59 @@ def test_render_server_mode(trained, monkeypatch):
     assert len(os.listdir(img_dir)) == 6
 
 
+def test_render_server_batches_queued_requests(trained, monkeypatch):
+    """Requests queued together coalesce into ONE render_path dispatch
+    (same resolution), and the batched outputs are bit-identical to the
+    same requests served one at a time."""
+    import io
+    import json
+
+    import run_render as rr_mod
+
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='val', runname='srvb0')
+
+    calls = []
+    orig_rp = None
+    from anerf_tpu.render import render_path as rp_mod
+    orig_rp = rp_mod.render_path
+
+    def spy(params, cfg, c2ws, *a, **kw):
+        calls.append(len(c2ws))
+        return orig_rp(params, cfg, c2ws, *a, **kw)
+
+    monkeypatch.setattr(rp_mod, 'render_path', spy)
+
+    reqs = [
+        {'render_type': 'val', 'selected_idxs': [0], 'runname': 'srvb1'},
+        {'render_type': 'val', 'selected_idxs': [1], 'runname': 'srvb2'},
+        {'cmd': 'quit'},
+    ]
+    stdin = io.StringIO('\n'.join(json.dumps(r) for r in reqs) + '\n')
+    stdout = io.StringIO()
+    rr.serve(args, stdin=stdin, stdout=stdout)
+    lines = [json.loads(ln) for ln in stdout.getvalue().splitlines()]
+    ready, r1, r2, bye = lines
+    assert r1['ok'] and r2['ok'] and bye.get('bye')
+    # both requests rode one coalesced 2-pose dispatch
+    assert r1.get('batched') == 2 and r2.get('batched') == 2
+    assert calls == [2], calls
+
+    # bit-identical to serving each request alone
+    calls.clear()
+    stdin = io.StringIO(json.dumps(reqs[0] | {'runname': 'srvs1'}) + '\n'
+                        + json.dumps({'cmd': 'quit'}) + '\n')
+    rr.serve(args, stdin=stdin, stdout=io.StringIO())
+    assert calls == [1], calls
+    import imageio
+    a = imageio.imread(os.path.join(str(tmp), 'render_out', 'surreal',
+                                    'srvb1', 'image', '00000.png'))
+    b = imageio.imread(os.path.join(str(tmp), 'render_out', 'surreal',
+                                    'srvs1', 'image', '00000.png'))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_render_server_eof_shuts_down(trained, monkeypatch):
     """EOF on stdin (client gone) must end serve() cleanly after ready."""
     import io
