@@ -39,7 +39,8 @@ import jax.numpy as jnp
 REFERENCE_TRAIN_RAYS_PER_SEC = 60_000.0
 
 
-def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False):
+def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False,
+          **cfg_over):
     from __graft_entry__ import _batch, _flagship
     from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
                                          pose_anchor_tree)
@@ -57,11 +58,11 @@ def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False):
                      # half the compile time)
     args, cfg, params, pose = _flagship(n_frames=256, n_rays=n_rays,
                                         n_images=n_images)
-    if fast_grads or cull_ratio or fused_kernel:
+    if fast_grads or cull_ratio or fused_kernel or cfg_over:
         import dataclasses
         args = dataclasses.replace(args, fast_grads=fast_grads,
                                    cull_ratio=cull_ratio,
-                                   fused_kernel=fused_kernel)
+                                   fused_kernel=fused_kernel, **cfg_over)
         from anerf_tpu.render.factory import build_render_config
         from anerf_tpu.skeleton import SMPLSkeleton
         cfg = build_render_config(args, {
@@ -268,10 +269,25 @@ def scaling_table(n_devices: int):
     }))
 
 
+#: named quality-A/B variants: config overrides relative to the
+#: protocol-default control. 'culled' takes the sweep's --ab_cull depth;
+#: 'sr' is the unbiased stochastically-rounded bf16 cotangent path.
+AB_VARIANTS = {
+    'control': lambda cull: {},
+    'culled': lambda cull: dict(cull_ratio=cull, fast_grads=True),
+    'fast': lambda cull: dict(fast_grads=True),
+    'sr': lambda cull: dict(sr_grads=True),
+    'sr_culled': lambda cull: dict(cull_ratio=cull, sr_grads=True),
+    'fastv2': lambda cull: dict(hifi_pe=True, fast_mlp=True,
+                                alpha_f32=True),
+}
+
+
 def quality_ab(steps: int, styles, seeds, cull_ratio: float,
-               fast_grads: bool, state_path: str | None = None):
-    """Automated cull-vs-nocull quality A/B (VERDICT r2 #1): trains the
-    protocol-default and the culled config on each synthetic fixture
+               fast_grads: bool, state_path: str | None = None,
+               variants=('control', 'culled')):
+    """Automated quality A/B (VERDICT r2 #1): trains the protocol-default
+    control and each requested variant config on each synthetic fixture
     family with a deterministic loader and reports val PSNR side by side.
     One JSON line; ~4-8 min per (style, seed, config) on a v5e chip.
 
@@ -312,9 +328,8 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
         if not os.path.exists(h5):
             make_synthetic_h5(h5, n_kps=8, n_cams=3, H=H, W=H, style=style)
         for seed in seeds:
-            for label, over in (('control', {}),
-                                ('culled', dict(cull_ratio=cull_ratio,
-                                                fast_grads=fast_grads))):
+            for label in variants:
+                over = AB_VARIANTS[label](cull_ratio)
                 key = [style, int(seed), label, int(steps),
                        float(cull_ratio), bool(fast_grads)]
                 if tuple(key) in done:
@@ -354,18 +369,27 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
                     f.write(json.dumps(row) + '\n')
                 print(row, flush=True)
 
-    deltas = []
-    for style in styles:
-        for seed in seeds:
-            pair = {r['config']: r for r in rows
-                    if r['style'] == style and r['seed'] == seed}
-            deltas.append(pair['culled']['psnr'] - pair['control']['psnr'])
+    per_variant = {}
+    for v in variants:
+        if v == 'control':
+            continue
+        deltas = []
+        for style in styles:
+            for seed in seeds:
+                sub = {r['config']: r for r in rows
+                       if r['style'] == style and r['seed'] == seed}
+                if 'control' in sub and v in sub:
+                    deltas.append(sub[v]['psnr'] - sub['control']['psnr'])
+        if deltas:
+            per_variant[v] = round(statistics.median(deltas), 2)
+    head = per_variant.get('culled', next(iter(per_variant.values()), 0.0))
     print(json.dumps({
-        'metric': 'cull_quality_delta_psnr',
-        'value': round(statistics.median(deltas), 2),
-        'unit': f'dB (culled {cull_ratio} - control, median over '
-                f'{len(deltas)} fixturexseed pairs)',
-        'vs_baseline': round(statistics.median(deltas), 2),
+        'metric': 'quality_ab_delta_psnr',
+        'value': head,
+        'unit': f'dB (variant - control, median over fixturexseed pairs; '
+                f'cull depth {cull_ratio})',
+        'vs_baseline': head,
+        'deltas': per_variant,
         'rows': rows,
     }))
 
@@ -426,6 +450,11 @@ def main():
                    default=['blobs', 'limbs', 'clutter'])
     p.add_argument('--ab_seeds', nargs='+', type=int, default=[0])
     p.add_argument('--ab_cull', type=float, default=0.125)
+    p.add_argument('--ab_variants', nargs='+',
+                   default=['control', 'culled'],
+                   choices=sorted(AB_VARIANTS),
+                   help='named configs to train per fixture/seed '
+                        '(control = protocol default)')
     p.add_argument('--ab_state', type=str, default=None,
                    help='JSONL resume file for --quality_ab (default '
                         '<tmpdir>/bench_qab_state.jsonl); finished cells '
@@ -444,7 +473,8 @@ def main():
 
     if a.quality_ab:
         return quality_ab(a.ab_steps, a.ab_styles, a.ab_seeds, a.ab_cull,
-                          fast_grads=True, state_path=a.ab_state)
+                          fast_grads=True, state_path=a.ab_state,
+                          variants=a.ab_variants)
     if a.n_devices:
         return scaling_table(a.n_devices)
 

@@ -45,7 +45,7 @@ def test_quality_ab_resumes_finished_cells(stubbed_bench, tmp_path, capsys):
     assert calls == []
     out = capsys.readouterr().out
     verdict = json.loads(out.strip().splitlines()[-1])
-    assert verdict['metric'] == 'cull_quality_delta_psnr'
+    assert verdict['metric'] == 'quality_ab_delta_psnr'
     assert len(verdict['rows']) == 4
 
     # a DIFFERENT protocol (deeper cull) must not reuse the state
