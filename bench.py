@@ -158,6 +158,57 @@ def measure_render(cull_ratio=0.25, n_views=8, res=512):
     return n_valid / dt
 
 
+def measure_e2e(steps=6000, warm_steps=2000, cull_ratio=0.125,
+                fast_grads=True, workers=4, unroll=20):
+    """Steady-state IN-LOOP training rays/s through the real pipeline
+    (BatchLoader workers + C++ super-batch assembler + scanned
+    dispatch) on a synthetic fixture at flagship model size. The
+    in-loop rate is the end-to-end number a user sees; the dispatch
+    bench above is device-only. Steady state = between the i_print
+    marks at warm_steps and steps (compile + warmup excluded)."""
+    import os
+    import tempfile
+
+    from anerf_tpu.config import TrainConfig
+    from anerf_tpu.data.fixtures import make_synthetic_h5
+    from anerf_tpu.data.surreal import SurrealDataset
+    from anerf_tpu.train.loop import train
+
+    d = os.path.join(tempfile.gettempdir(), 'e2e_rate_fixture')
+    h5 = os.path.join(d, 'syn_train_h5py.h5')
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(h5):
+        make_synthetic_h5(h5, n_kps=8, n_cams=3, H=64, W=64)
+
+    args = TrainConfig(
+        expname='e2e_rate', basedir=d,
+        dataset_type=('h5',), subject=(h5,),
+        netdepth=8, netwidth=256, multires=7, multires_views=4,
+        N_samples=64, N_importance=16, N_rand=2048, N_sample_images=32,
+        use_viewdirs=True, use_cutoff=True, cutoff_viewdir=True,
+        cutoff_inputs=True, use_background=True, opt_framecode=True,
+        ext_scale=0.001, lrate=5e-4, raw_noise_std=1.0,
+        i_print=200, i_weights=10**8, i_testset=10**8,
+        i_pose_weights=10**8, chunk=1024 * 16, compute_dtype='bfloat16',
+        num_workers=workers, scan_unroll=unroll,
+        cull_ratio=cull_ratio, fast_grads=fast_grads,
+        no_reload=True, seed=0)
+    ds = SurrealDataset(h5, N_samples=args.N_rand // args.N_sample_images,
+                        split='train')
+
+    marks = []
+
+    def log_fn(rec):
+        marks.append((rec['step'], time.perf_counter()))
+
+    train(args, ds, n_iters=steps, log_fn=log_fn)
+    steady = [(s, t) for s, t in marks if s >= warm_steps]
+    if len(steady) < 2:
+        raise RuntimeError(f'not enough steady-state marks: {marks!r}')
+    (s0, w0), (s1, w1) = steady[0], steady[-1]
+    return (s1 - s0) * args.N_rand / (w1 - w0)
+
+
 def scaling_table(n_devices: int):
     """Weak-scaling harness (--n_devices): per-chip rays/s + efficiency
     over a device mesh. On a CPU host this exercises a VIRTUAL mesh —
@@ -520,6 +571,12 @@ def main():
                 measure_render(cull_ratio=0.125), 1)
         except Exception as e:       # render metric is auxiliary — never
             extras['render_error'] = str(e)[:120]  # sink the train metric
+        try:
+            # end-to-end in-loop rate through the real host pipeline
+            # (loader workers + native assembler) on the headline config
+            extras['e2e_inloop_rays_per_sec'] = round(measure_e2e(), 1)
+        except Exception as e:
+            extras['e2e_error'] = str(e)[:120]
 
     # protocol-matched ratio (ADVICE r2): the strict-protocol step vs the
     # derived reference estimate; the headline (best quality-safe config)

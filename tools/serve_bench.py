@@ -80,21 +80,26 @@ r_args = argparse.Namespace(
     no_save=True)
 
 sess = rr.RenderSession(r_args)
+n_poses = 8                          # fixture grid: n_kps distinct poses
 preps = []
 for i in range(cli.n_req):
     ns = argparse.Namespace(**vars(r_args))
-    ns.selected_idxs = [i % 4]       # distinct poses per client
+    ns.selected_idxs = [i % n_poses]  # distinct pose per client
     ns.runname = f'c{i}'
     preps.append(sess.prepare(ns))
 
-sess.render_prepared([preps[0]])     # warm: compile lands here
+# warm BOTH dispatch shapes untimed (single-request buckets and the
+# coalesced bucket), then time a second pass of each — same protocol as
+# bench.measure_render (identical-input repeat), applied equally to both
+# modes so the comparison is internally consistent
+for p_ in preps:
+    sess.render_prepared([p_])
+sess.render_prepared(preps)
 
 t0 = time.perf_counter()
 for p_ in preps:
     sess.render_prepared([p_])
 serial = time.perf_counter() - t0
-
-sess.render_prepared(preps[:2])      # warm the batched bucket shapes
 
 t0 = time.perf_counter()
 sess.render_prepared(preps)
