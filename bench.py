@@ -158,7 +158,7 @@ def measure_render(cull_ratio=0.25, n_views=8, res=512):
     return n_valid / dt
 
 
-def measure_e2e(steps=6000, warm_steps=2000, cull_ratio=0.125,
+def measure_e2e(steps=4000, warm_steps=1500, cull_ratio=0.125,
                 fast_grads=True, workers=4, unroll=20):
     """Steady-state IN-LOOP training rays/s through the real pipeline
     (BatchLoader workers + C++ super-batch assembler + scanned
