@@ -24,6 +24,7 @@ after a steady-state warmup, median reported (tunnel throughput varies
 """
 import argparse
 import json
+import os
 import statistics
 import time
 
@@ -33,10 +34,15 @@ import jax
 import jax.numpy as jnp
 
 # Derived reference (torch, A100) training throughput for the SURREAL
-# recipe: central estimate of the 20-120k rays/s band in BASELINE.md
-# ("Derived reference throughput") — 7.58e8 FLOPs/ray (XLA-counted) at a
-# generous ~24% of A100 TF32 peak for a chunked research torch pipeline.
-REFERENCE_TRAIN_RAYS_PER_SEC = 60_000.0
+# recipe: the 20-120k rays/s band derived in BASELINE.md ("Derived
+# reference throughput") — 7.58e8 FLOPs/ray (XLA-counted) at 8-48% of
+# A100 TF32 peak for a chunked research torch pipeline; 60k is the
+# central estimate. The band is carried through to the JSON so every
+# vs_baseline claim states its own floor (VERDICT r3 #3):
+# vs_baseline_low divides by the band's TOP (most charitable to the
+# reference), vs_baseline_high by the band's BOTTOM.
+REFERENCE_BAND_RAYS_PER_SEC = (20_000.0, 60_000.0, 120_000.0)
+REFERENCE_TRAIN_RAYS_PER_SEC = REFERENCE_BAND_RAYS_PER_SEC[1]
 
 
 def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False,
@@ -320,9 +326,21 @@ def scaling_table(n_devices: int):
     }))
 
 
+#: Mixamo-style pose-refinement recipe (configs/mixamo/mixamo.txt:35-48;
+#: reference core/pose_opt.py) — the protocol PERF.md's round-2/3
+#: refinement measurements used.
+_POSE_RECIPE = dict(
+    loss_fn='L1', opt_pose=True, opt_rot6d=True, opt_pose_tol=0.01,
+    opt_pose_type='BE', opt_pose_step=20, opt_pose_lrate=5e-4,
+    opt_pose_lrate_decay=2, opt_pose_decay_rate=1.0,
+    opt_pose_decay_unit=1000, opt_pose_joint=True, opt_pose_coef=2.0)
+
 #: named quality-A/B variants: config overrides relative to the
 #: protocol-default control. 'culled' takes the sweep's --ab_cull depth;
-#: 'sr' is the unbiased stochastically-rounded bf16 cotangent path.
+#: 'sr' is the unbiased stochastically-rounded bf16 cotangent path;
+#: 'refine'/'refine_culled' train on a PERTURBED-pose copy of the fixture
+#: (reference perturbation protocol: 5 deg half-masked bone noise + 20 mm
+#: pelvis, skeleton_utils.py:289-321) and report refined MPJPE/PA-MPJPE.
 AB_VARIANTS = {
     'control': lambda cull: {},
     'culled': lambda cull: dict(cull_ratio=cull, fast_grads=True),
@@ -331,25 +349,102 @@ AB_VARIANTS = {
     'sr_culled': lambda cull: dict(cull_ratio=cull, sr_grads=True),
     'fastv2': lambda cull: dict(hifi_pe=True, fast_mlp=True,
                                 alpha_f32=True),
+    'refine': lambda cull: dict(_POSE_RECIPE),
+    'refine_culled': lambda cull: dict(cull_ratio=cull, fast_grads=True,
+                                       **_POSE_RECIPE),
 }
+#: which variant a variant's PSNR delta pairs against (default 'control');
+#: refine_culled pairs against refine so the delta isolates culling's
+#: effect on pose gradients, not the cost of noisy poses.
+AB_CONTROL = {'refine_culled': 'refine'}
+#: variants trained on the perturbed-pose fixture copy
+AB_PERTURBED = frozenset({'refine', 'refine_culled'})
+
+
+def _variant_sig(over: dict) -> str:
+    """Stable digest of a variant's override dict for the resume key —
+    editing an AB_VARIANTS definition invalidates old JSONL cells instead
+    of silently reusing rows measured under the old definition
+    (ADVICE r3)."""
+    import hashlib
+    blob = json.dumps(sorted(over.items()), default=str).encode()
+    return hashlib.sha1(blob).hexdigest()[:10]
+
+
+def _parse_style(style: str):
+    """'limbs' -> ('limbs', 64); 'limbs@128' -> ('limbs', 128)."""
+    name, _, res = style.partition('@')
+    H = int(res) if res else (96 if name == 'clutter' else 64)
+    return name, H
+
+
+def _ensure_perturbed_h5(src_h5: str, dst_h5: str, seed: int,
+                         ext_scale: float = 0.001):
+    """Copy the fixture h5 with kp3d/bones/skts/cyls replaced by the
+    reference perturbation protocol (5 deg half-masked bone noise + 20 mm
+    pelvis); gt_kp3d stays. Returns (gt_kp3d, init_mpjpe_mm)."""
+    import shutil
+
+    import h5py
+
+    from anerf_tpu.ops.cylinder import get_kp_bounding_cylinder
+    from anerf_tpu.pose.pose_opt import perturb_poses
+    from anerf_tpu.utils.metrics import mpjpe
+
+    if not os.path.exists(dst_h5):
+        shutil.copy(src_h5, dst_h5)
+        with h5py.File(dst_h5, 'r+') as f:
+            bones = f['bones'][:]
+            kp3d = f['kp3d'][:]
+            rest = f['rest_pose'][:]
+            rng = np.random.default_rng(10_000 + seed)
+            nb, nskts, nkp = perturb_poses(
+                bones, kp3d, rest, noise_degree=5.0, noise_pelvis_mm=20.0,
+                ext_scale=ext_scale, rng=rng)
+            f['bones'][...] = nb
+            f['skts'][...] = nskts
+            f['kp3d'][...] = nkp
+            f['cyls'][...] = get_kp_bounding_cylinder(
+                nkp, ext_scale=ext_scale, head='y')
+    with h5py.File(dst_h5, 'r') as f:
+        gt_kp = f['gt_kp3d'][:]
+        init = mpjpe(f['kp3d'][:], gt_kp) / ext_scale
+    return gt_kp, float(init)
+
+
+def _refined_pose_metrics(ctx, gt_kp: np.ndarray,
+                          ext_scale: float = 0.001) -> dict:
+    """MPJPE / PA-MPJPE (mm) of the trained pose parameters vs GT."""
+    from anerf_tpu.pose.pose_opt import fk_lookup
+    from anerf_tpu.utils.metrics import mpjpe, pa_mpjpe
+
+    idxs = jnp.arange(gt_kp.shape[0])
+    kps = np.asarray(fk_lookup(ctx.state.pose_params, idxs,
+                               ctx.rest_pose, ctx.pose_cfg)[0])
+    return {'mpjpe_mm': round(mpjpe(kps, gt_kp) / ext_scale, 1),
+            'pa_mpjpe_mm': round(pa_mpjpe(kps, gt_kp) / ext_scale, 1)}
 
 
 def quality_ab(steps: int, styles, seeds, cull_ratio: float,
-               fast_grads: bool, state_path: str | None = None,
+               state_path: str | None = None,
                variants=('control', 'culled')):
-    """Automated quality A/B (VERDICT r2 #1): trains the protocol-default
-    control and each requested variant config on each synthetic fixture
-    family with a deterministic loader and reports val PSNR side by side.
-    One JSON line; ~4-8 min per (style, seed, config) on a v5e chip.
+    """Automated quality A/B (VERDICT r2 #1, default-strength per r3 #2):
+    trains the protocol-default control and each requested variant config
+    on each synthetic fixture family x seed with a deterministic loader
+    and reports val PSNR (and, for refine cells, refined MPJPE) side by
+    side with per-variant median/mean/std/n over the cells. One JSON
+    line; ~4-8 min per (style, seed, config) on a v5e chip.
+
+    Styles accept an optional resolution suffix ('limbs@128'); the
+    default sweep covers three 64-96 px families plus a 128 px family.
 
     Each finished cell is appended to `state_path` (JSONL) as it
     completes, and cells already present there are skipped — so a sweep
     killed mid-run (tunnel wedge, timeout) resumes where it stopped
     instead of burning hours of chip time again. The key includes the
-    protocol knobs (steps/cull/fast) so stale state can't poison a
-    different sweep.
+    protocol knobs AND a digest of the variant's override dict, so stale
+    state can't poison a different sweep or an edited variant.
     """
-    import os
     import tempfile
 
     from anerf_tpu.config import TrainConfig
@@ -372,24 +467,31 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
 
     rows = []
     for style in styles:
-        H = 96 if style == 'clutter' else 64
-        d = os.path.join(tempfile.gettempdir(), f'bench_qab_{style}_{H}')
+        name, H = _parse_style(style)
+        d = os.path.join(tempfile.gettempdir(), f'bench_qab_{name}_{H}')
         h5 = os.path.join(d, 'syn_train_h5py.h5')
         os.makedirs(d, exist_ok=True)
         if not os.path.exists(h5):
-            make_synthetic_h5(h5, n_kps=8, n_cams=3, H=H, W=H, style=style)
+            make_synthetic_h5(h5, n_kps=8, n_cams=3, H=H, W=H, style=name)
         for seed in seeds:
             for label in variants:
                 over = AB_VARIANTS[label](cull_ratio)
                 key = [style, int(seed), label, int(steps),
-                       float(cull_ratio), bool(fast_grads)]
+                       float(cull_ratio), _variant_sig(over)]
                 if tuple(key) in done:
                     rows.append(done[tuple(key)])
                     print({'resumed': True, **done[tuple(key)]}, flush=True)
                     continue
+                train_h5, pose_extra = h5, {}
+                if label in AB_PERTURBED:
+                    train_h5 = os.path.join(d, f'perturbed_s{seed}.h5')
+                    gt_kp, init_mm = _ensure_perturbed_h5(h5, train_h5,
+                                                          seed)
+                    pose_extra['init_mpjpe_mm'] = round(init_mm, 1)
                 args = TrainConfig(
-                    expname=f'qab_{style}_{seed}_{label}', basedir=d,
-                    dataset_type=('h5',), subject=(h5,),
+                    expname=f'qab_{style}_{seed}_{label}'.replace('@', ''),
+                    basedir=d,
+                    dataset_type=('h5',), subject=(train_h5,),
                     netdepth=8, netwidth=256, multires=7, multires_views=4,
                     N_samples=64, N_importance=16, N_rand=2048,
                     N_sample_images=32, use_viewdirs=True, use_cutoff=True,
@@ -401,12 +503,14 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
                     compute_dtype='bfloat16', num_workers=0,
                     scan_unroll=10, no_reload=True, seed=seed, **over)
                 ds = SurrealDataset(
-                    h5, N_samples=args.N_rand // args.N_sample_images,
+                    train_h5, N_samples=args.N_rand // args.N_sample_images,
                     split='train')
                 t0 = time.perf_counter()
                 ctx = train(args, ds, n_iters=steps)
                 dt = time.perf_counter() - t0
                 val = run_validation(ctx, steps, max_images=3)
+                if label in AB_PERTURBED:
+                    pose_extra.update(_refined_pose_metrics(ctx, gt_kp))
                 row = {'style': style, 'seed': seed, 'config': label,
                        'psnr': round(float(val['psnr']), 2),
                        'fg_psnr': round(float(val.get(
@@ -414,6 +518,7 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
                        'fg_ssim': round(float(val.get(
                            'fg_ssim', float('nan'))), 3),
                        'rays_per_s': round(steps * 2048 / dt, 1),
+                       **pose_extra,
                        'key': key}
                 rows.append(row)
                 with open(state_path, 'a') as f:
@@ -422,18 +527,35 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
 
     per_variant = {}
     for v in variants:
-        if v == 'control':
+        base = AB_CONTROL.get(v, 'control')
+        if v == 'control' or base not in variants:
             continue
         deltas = []
         for style in styles:
             for seed in seeds:
                 sub = {r['config']: r for r in rows
                        if r['style'] == style and r['seed'] == seed}
-                if 'control' in sub and v in sub:
-                    deltas.append(sub[v]['psnr'] - sub['control']['psnr'])
+                if base in sub and v in sub:
+                    deltas.append(sub[v]['psnr'] - sub[base]['psnr'])
         if deltas:
-            per_variant[v] = round(statistics.median(deltas), 2)
-    head = per_variant.get('culled', next(iter(per_variant.values()), 0.0))
+            per_variant[v] = {
+                'median': round(statistics.median(deltas), 2),
+                'mean': round(statistics.mean(deltas), 2),
+                'std': round(statistics.pstdev(deltas), 2),
+                'n': len(deltas),
+                'vs': base,
+            }
+    refine_summary = {}
+    for v in sorted(AB_PERTURBED & set(variants)):
+        cells = [r for r in rows if r['config'] == v and 'mpjpe_mm' in r]
+        if cells:
+            refine_summary[v] = {
+                k: round(statistics.median([r[k] for r in cells]), 1)
+                for k in ('init_mpjpe_mm', 'mpjpe_mm', 'pa_mpjpe_mm')
+            } | {'n': len(cells)}
+    head = per_variant.get('culled',
+                           next(iter(per_variant.values()),
+                                {'median': 0.0}))['median']
     print(json.dumps({
         'metric': 'quality_ab_delta_psnr',
         'value': head,
@@ -441,6 +563,7 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
                 f'cull depth {cull_ratio})',
         'vs_baseline': head,
         'deltas': per_variant,
+        'refine': refine_summary,
         'rows': rows,
     }))
 
@@ -498,8 +621,13 @@ def main():
                         'fixture family)')
     p.add_argument('--ab_steps', type=int, default=4000)
     p.add_argument('--ab_styles', nargs='+',
-                   default=['blobs', 'limbs', 'clutter'])
-    p.add_argument('--ab_seeds', nargs='+', type=int, default=[0])
+                   default=['blobs', 'limbs', 'clutter', 'limbs@128'],
+                   help="fixture families; 'name@RES' overrides the "
+                        "render resolution (default adds a 128 px family)")
+    p.add_argument('--ab_seeds', nargs='+', type=int, default=[0, 1, 2],
+                   help='training seeds per (style, variant) cell — the '
+                        'no-flags default regenerates multi-seed evidence '
+                        'with spread (VERDICT r3 #2)')
     p.add_argument('--ab_cull', type=float, default=0.125)
     p.add_argument('--ab_variants', nargs='+',
                    default=['control', 'culled'],
@@ -524,8 +652,7 @@ def main():
 
     if a.quality_ab:
         return quality_ab(a.ab_steps, a.ab_styles, a.ab_seeds, a.ab_cull,
-                          fast_grads=True, state_path=a.ab_state,
-                          variants=a.ab_variants)
+                          state_path=a.ab_state, variants=a.ab_variants)
     if a.n_devices:
         return scaling_table(a.n_devices)
 
@@ -573,17 +700,31 @@ def main():
             extras['render_error'] = str(e)[:120]  # sink the train metric
         try:
             # end-to-end in-loop rate through the real host pipeline
-            # (loader workers + native assembler) on the headline config
-            extras['e2e_inloop_rays_per_sec'] = round(measure_e2e(), 1)
+            # (loader workers + native assembler) on the headline config.
+            # The window is emitted so the reading is self-describing
+            # (ADVICE r3): tools/e2e_rate.py uses a longer 2000-8000
+            # window and reads slightly higher.
+            e2e_kw = dict(steps=4000, warm_steps=1500)
+            extras['e2e_inloop_rays_per_sec'] = round(
+                measure_e2e(**e2e_kw), 1)
+            extras['e2e_inloop_window_steps'] = [e2e_kw['warm_steps'],
+                                                 e2e_kw['steps']]
         except Exception as e:
             extras['e2e_error'] = str(e)[:120]
 
     # protocol-matched ratio (ADVICE r2): the strict-protocol step vs the
     # derived reference estimate; the headline (best quality-safe config)
-    # gets its own ratio so the comparison stays apples-to-apples
-    extras['baseline_rays_per_sec'] = REFERENCE_TRAIN_RAYS_PER_SEC
-    extras['vs_baseline_headline'] = round(
-        headline / REFERENCE_TRAIN_RAYS_PER_SEC, 3)
+    # gets its own ratio so the comparison stays apples-to-apples.
+    # Every ratio carries the band (VERDICT r3 #3): _low divides by the
+    # band's top (most charitable to the reference), _high by its bottom.
+    lo, mid, hi = REFERENCE_BAND_RAYS_PER_SEC
+    extras['baseline_rays_per_sec'] = mid
+    extras['baseline_band_rays_per_sec'] = [lo, hi]
+    extras['vs_baseline_low'] = round(default_med / hi, 3)
+    extras['vs_baseline_high'] = round(default_med / lo, 3)
+    extras['vs_baseline_headline'] = round(headline / mid, 3)
+    extras['vs_baseline_headline_low'] = round(headline / hi, 3)
+    extras['vs_baseline_headline_high'] = round(headline / lo, 3)
     print(json.dumps({
         'metric': 'train_rays_per_sec',
         'value': round(headline, 1),
