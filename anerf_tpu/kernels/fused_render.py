@@ -459,11 +459,12 @@ def pack_ray_data(rays_d: jnp.ndarray, skts: jnp.ndarray,
     return m_all, aux
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
+@functools.partial(jax.jit, static_argnums=(0, 5, 7))
 def fused_encode_mlp_pts(ncfg: NeRFConfig, packed: Dict[str, Any],
                          pts: jnp.ndarray, m_all: jnp.ndarray,
                          aux: jnp.ndarray, S: int,
-                         tau: jnp.ndarray = 2000.0) -> jnp.ndarray:
+                         tau: jnp.ndarray = 2000.0,
+                         max_t: int = 1024) -> jnp.ndarray:
     """World points -> raw (R, S, 4), transform+PE+MLP all on-chip.
 
     pts (R, S, 3) f32; m_all/aux from pack_ray_data. The only HBM-side
@@ -472,7 +473,7 @@ def fused_encode_mlp_pts(ncfg: NeRFConfig, packed: Dict[str, Any],
     flagship shape disappears into ~5 small in-kernel matmuls.
     """
     R = pts.shape[0]
-    TR = _pick_tr(S)
+    TR = _pick_tr(S, max_t=max_t)
     R_pad = _rup(R, TR)
     pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))).reshape(
         R_pad * S, 3)
@@ -682,12 +683,19 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
 
 def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
                     pts: jnp.ndarray, m_all: jnp.ndarray, aux: jnp.ndarray,
-                    S: int, tau, g: jnp.ndarray, bwd_f32: bool):
+                    S: int, tau, g: jnp.ndarray, bwd_f32: bool,
+                    max_t: int | None = None):
     """Run the backward kernel; returns (dW dict over trainable names,
     dpts, dm_all, daux)."""
     R = pts.shape[0]
-    # the f32-cotangent flavor doubles the wide VMEM tiles; halve the tile
-    TR = _pick_tr(S, max_t=256 if bwd_f32 else 512)
+    if max_t is None:
+        # the f32-cotangent flavor doubles the wide VMEM tiles; halve the
+        # tile. The floor in _pick_tr means large-S configs run T=512-640
+        # regardless, which is also the measured sweet spot — so small S
+        # (deep culling) must not DROP below it (VERDICT r3: the fused
+        # backward lost to XLA at cull 0.125 with T=256/192 tiles).
+        max_t = 512 if bwd_f32 else 1024
+    TR = _pick_tr(S, max_t=max_t)
     R_pad = _rup(R, TR)
     pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))).reshape(
         R_pad * S, 3)

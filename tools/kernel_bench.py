@@ -1,0 +1,141 @@
+"""Isolated fused-kernel timings over tile-size / precision variants.
+
+Times fused_encode_mlp_pts (forward) and _fused_bwd_impl (backward) at
+the flagship model size for the shapes the train step actually dispatches
+(strict: S=64 coarse + S=80 fine; cull 0.125: S=8 + S=24), across max_t
+tile budgets. Drives the VERDICT r4 #1 tile-shape decision with direct
+evidence instead of full-step A/Bs.
+
+Usage: python tools/kernel_bench.py [--rays 2048] [--reps 8]
+"""
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from anerf_tpu.utils.device_lock import acquire
+
+acquire()
+
+import jax
+import jax.numpy as jnp
+
+
+def setup(n_rays):
+    from __graft_entry__ import _flagship
+    from anerf_tpu.kernels.fused_render import (pack_ray_data,
+                                                pack_render_params)
+    from anerf_tpu.models.nerf import lookup_framecodes
+
+    args, cfg, params, pose = _flagship(n_frames=32, n_rays=n_rays,
+                                        n_images=8)
+    packed = pack_render_params(params['coarse'], cfg.nerf,
+                                cfg.embed_kp.num_freqs,
+                                cfg.embed_view.num_freqs,
+                                params['cutoff_dist'])
+    rng = np.random.default_rng(0)
+    skts = jnp.asarray(pose['skts'][rng.integers(0, 8, n_rays)])
+    rays_d = jnp.asarray(rng.normal(size=(n_rays, 1, 3)).astype(np.float32))
+    fc = lookup_framecodes(params['coarse'],
+                           jnp.zeros((n_rays,), jnp.int32))
+    m_all, aux = pack_ray_data(rays_d, skts, fc)
+    return cfg, packed, m_all, aux, rng
+
+
+def time_call(fn, *args, reps=8, **kw):
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    # two distinct input sets would be ideal; the kernel inputs differ per
+    # rep via the pts argument the caller closes over
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--rays', type=int, default=2048)
+    p.add_argument('--reps', type=int, default=8)
+    p.add_argument('--shapes', nargs='+', type=int, default=[64, 80, 8, 24])
+    p.add_argument('--max_ts', nargs='+', type=int,
+                   default=[256, 512, 1024, 2048])
+    a = p.parse_args()
+
+    from anerf_tpu.kernels import fused_render as fr
+
+    cfg, packed, m_all, aux, rng = setup(a.rays)
+    R = a.rays
+    tau = jnp.float32(2000.0)
+    results = []
+
+    for S in a.shapes:
+        pts = jnp.asarray(
+            rng.normal(size=(R, S, 3)).astype(np.float32) * 0.3)
+        g = jnp.asarray(rng.normal(size=(R, S, 4)).astype(np.float32))
+        pts2 = pts + 0.01  # alternate input (tunnel memoization hygiene)
+
+        for max_t in a.max_ts:
+            if max_t // S < 1 and S > max_t:
+                continue
+            # forward
+            try:
+                dt, _ = time_call(
+                    lambda p_: fr.fused_encode_mlp_pts(
+                        cfg.nerf, packed, p_, m_all, aux, S, tau,
+                        max_t=max_t),
+                    pts, reps=a.reps)
+                dt2, _ = time_call(
+                    lambda p_: fr.fused_encode_mlp_pts(
+                        cfg.nerf, packed, p_, m_all, aux, S, tau,
+                        max_t=max_t),
+                    pts2, reps=a.reps)
+                row = {'kind': 'fwd', 'S': S, 'max_t': max_t,
+                       'TR': fr._pick_tr(S, max_t),
+                       'ms': round(min(dt, dt2) * 1000, 3)}
+                results.append(row)
+                print(row, flush=True)
+            except Exception as e:
+                print({'kind': 'fwd', 'S': S, 'max_t': max_t,
+                       'error': str(e)[:100]}, flush=True)
+            # backward, both cotangent flavors
+            for bwd_f32 in (True, False):
+                try:
+                    dt, _ = time_call(
+                        lambda p_: jax.jit(
+                            lambda pp: fr._fused_bwd_impl(
+                                cfg.nerf, packed, pp, m_all, aux, S, tau,
+                                g, bwd_f32, max_t=max_t))(p_),
+                        pts, reps=a.reps)
+                    dt2, _ = time_call(
+                        lambda p_: jax.jit(
+                            lambda pp: fr._fused_bwd_impl(
+                                cfg.nerf, packed, pp, m_all, aux, S, tau,
+                                g, bwd_f32, max_t=max_t))(p_),
+                        pts2, reps=a.reps)
+                    row = {'kind': f'bwd_{"f32" if bwd_f32 else "bf16"}',
+                           'S': S, 'max_t': max_t,
+                           'TR': fr._pick_tr(S, max_t),
+                           'ms': round(min(dt, dt2) * 1000, 3)}
+                    results.append(row)
+                    print(row, flush=True)
+                except Exception as e:
+                    print({'kind': f'bwd_{"f32" if bwd_f32 else "bf16"}',
+                           'S': S, 'max_t': max_t,
+                           'error': str(e)[:100]}, flush=True)
+
+    print(json.dumps({'metric': 'kernel_bench', 'rows': results}))
+
+
+if __name__ == '__main__':
+    main()
