@@ -62,17 +62,47 @@ def convert_crop_cam_to_orig_img_and_focal(
 
 
 def rest_pose_from_betas(betas: np.ndarray, gender: str = 'NEUTRAL',
-                         mapper=SMPL_JOINT_MAPPER) -> np.ndarray:
+                         mapper=SMPL_JOINT_MAPPER,
+                         model_path: Optional[str] = None,
+                         tables=None) -> np.ndarray:
     """Mean zero-pose SMPL joints for the given shape parameters
-    (process_spin.py:110-127). Requires smplx + SMPL model files."""
-    import torch
-    from smplx import SMPL
+    (process_spin.py:110-127), root-centered and averaged over frames.
 
-    betas = torch.tensor(np.asarray(betas, np.float32))
+    Resolution order: precomputed joint tables (the `tables` dict or
+    $ANERF_SMPL_TABLES — see data/smpl_tables.py; exactly
+    J_regressor @ shaped template, same numbers smplx produces), else
+    smplx + the SMPL model files."""
+    from .smpl_tables import ENV_VAR, SMPLTablesMissing, joints_from_betas
+    import os as _os
+
+    betas_np = np.asarray(betas, np.float32)
+    if betas_np.ndim == 1:
+        betas_np = betas_np[None]
+
+    if tables is not None or _os.environ.get(ENV_VAR):
+        if tables is None:
+            from .smpl_tables import load_tables
+            tables = load_tables()
+        rest_poses = joints_from_betas(betas_np, tables)
+        rest_poses = rest_poses - rest_poses[:, 0:1]
+        return rest_poses.mean(0).astype(np.float32)
+
+    try:
+        import torch
+        from smplx import SMPL
+    except ImportError as e:
+        raise SMPLTablesMissing(
+            'rest_pose_from_betas needs either smplx + SMPL model files or '
+            f'the precomputed joint tables ({ENV_VAR}; see '
+            'anerf_tpu/data/smpl_tables.py and tools/real_data_runbook.md)'
+        ) from e
+
+    betas_t = torch.tensor(betas_np)
     with torch.no_grad():
-        dummy = torch.eye(3).view(1, 1, 3, 3).expand(len(betas), 24, 3, 3)
-        smpl = SMPL(f'smpl/SMPL_{gender}.pkl', joint_mapper=mapper)
-        out = smpl(betas=betas, body_pose=dummy[:, 1:],
+        dummy = torch.eye(3).view(1, 1, 3, 3).expand(len(betas_t), 24, 3, 3)
+        smpl = SMPL(model_path or f'smpl/SMPL_{gender}.pkl',
+                    joint_mapper=mapper)
+        out = smpl(betas=betas_t, body_pose=dummy[:, 1:],
                    global_orient=dummy[:, :1], pose2rot=False)
         rest_poses = out.joints.cpu().numpy()
     rest_poses -= rest_poses[:, 0:1]

@@ -66,13 +66,12 @@ def get_smpls(subject_path: str, kp_ids: Sequence[int],
               model_path: str, param_dir: str = 'params',
               ext_scale: float = 0.001):
     """Per-frame SMPL -> (betas, kp3d, bones, skts, rest_pose).
-    Requires smplx + the SMPL model files (reference load_zju.py get_smpls)."""
-    import torch
-    from smplx import SMPL
 
-    from .process_spin import SMPL_JOINT_MAPPER
+    Rest pose comes from rest_pose_from_betas (precomputed joint tables,
+    $ANERF_SMPL_TABLES, else smplx + model_path — reference load_zju.py
+    get_smpls)."""
+    from .process_spin import rest_pose_from_betas
 
-    smpl = SMPL(model_path, joint_mapper=SMPL_JOINT_MAPPER)
     betas_list, kp3d, bones = [], [], []
     for kp_id in kp_ids:
         params = np.load(os.path.join(subject_path, param_dir,
@@ -91,15 +90,9 @@ def get_smpls(subject_path: str, kp_ids: Sequence[int],
         pose[0] = root
         bones.append(pose)
         kp3d.append(ZJU_TO_NERF_ROT @ Th)
-    betas = torch.tensor(np.stack(betas_list), dtype=torch.float32)
-
-    with torch.no_grad():
-        dummy = torch.eye(3).view(1, 1, 3, 3).expand(len(betas), 24, 3, 3)
-        out = smpl(betas=betas, body_pose=dummy[:, 1:],
-                   global_orient=dummy[:, :1], pose2rot=False)
-        rest_poses = out.joints.cpu().numpy()
-    rest_poses -= rest_poses[:, :1]
-    rest_pose = rest_poses.mean(0).astype(np.float32)
+    betas = np.stack(betas_list).astype(np.float32)
+    rest_pose = rest_pose_from_betas(betas, model_path=model_path).astype(
+        np.float32)
 
     bones = np.stack(bones).astype(np.float32)
     pelvis = np.stack(kp3d).astype(np.float32)
@@ -107,7 +100,7 @@ def get_smpls(subject_path: str, kp_ids: Sequence[int],
     l2ws[..., :3, -1] += pelvis[:, None]
     kp3d = l2ws[..., :3, -1].astype(np.float32)
     skts = np.linalg.inv(l2ws).astype(np.float32)
-    return betas.numpy(), kp3d, bones, skts, rest_pose
+    return betas, kp3d, bones, skts, rest_pose
 
 
 def process_zju_data(data_path: str, subject: str = '377',

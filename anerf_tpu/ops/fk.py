@@ -97,11 +97,15 @@ def fk(bones: jnp.ndarray,
 
 def get_smpl_l2ws_np(pose: np.ndarray, rest_pose: np.ndarray | None = None,
                      scale: float = 1.0,
-                     skel: Skeleton = SMPLSkeleton) -> np.ndarray:
+                     skel: Skeleton = SMPLSkeleton,
+                     use_rot_mats: bool = False) -> np.ndarray:
     """Host-side numpy FK for data preprocessing.
 
     Matches the reference `get_smpl_l2ws` (skeleton_utils.py:334-376): takes
-    one (J, 3) axis-angle pose, returns (J, 4, 4) local-to-world matrices.
+    one (J, 3) axis-angle pose — or (J, 3, 3) rotation matrices when
+    use_rot_mats — returns (J, 4, 4) local-to-world matrices. The chaining
+    is identical to smplx's lbs() rigid transforms (root translation at
+    rest_pose[root], children chained through rest offsets).
     """
     from scipy.spatial.transform import Rotation  # host-only dependency
 
@@ -109,8 +113,11 @@ def get_smpl_l2ws_np(pose: np.ndarray, rest_pose: np.ndarray | None = None,
     if rest_pose is None:
         rest_pose = smpl_rest_pose
     rest_kp = rest_pose * scale
-    mrots = np.stack([Rotation.from_rotvec(p).as_matrix() for p in pose]).astype(
-        np.float32)
+    if use_rot_mats:
+        mrots = np.asarray(pose, np.float32)
+    else:
+        mrots = np.stack([Rotation.from_rotvec(p).as_matrix()
+                          for p in pose]).astype(np.float32)
 
     def mat_to_homo(mat):
         return np.concatenate(

@@ -78,6 +78,63 @@ def evaluate_pose_error(pred_kp3d: np.ndarray, gt_kp3d: np.ndarray,
     }
 
 
+def evaluate_pampjpe_from_smpl_params(gt_kps: np.ndarray, betas: np.ndarray,
+                                      bones: np.ndarray,
+                                      tables=None,
+                                      ret_kp: bool = False):
+    """PA-MPJPE / MPJPE of SMPL-regressed H36M joints vs mm-scale GT.
+
+    Mirrors the reference evaluate_pampjpe_from_smpl_params
+    (core/utils/evaluation_helpers.py:541-612): pose the SMPL body with the
+    (refined) bone rotations, regress the 17 H36M joints, reindex with
+    SPIN_TO_CANON, Procrustes-align per frame for PA-MPJPE, and center both
+    at canonical joint 14 (the H36M pelvis) for translation-free MPJPE.
+    GT is millimeters (H36M convention), predictions are meters; both
+    returned metrics are in mm. Mesh-free: the regression runs through the
+    precomputed linear tables of data/smpl_tables.py instead of smplx,
+    so no (V, 3) vertex buffer or SMPL pkl is needed at eval time.
+
+    bones: (N, 24, 3) axis-angle. betas: (1 or N, 10). tables: preloaded
+    table dict, else loaded from $ANERF_SMPL_TABLES.
+    """
+    from scipy.spatial.transform import Rotation
+
+    from ..data.smpl_tables import (SPIN_TO_CANON, load_tables,
+                                    regress_joints)
+    from .metrics import procrustes
+
+    if tables is None:
+        tables = load_tables()
+    gt_kps = np.asarray(gt_kps, np.float64)
+    betas = np.asarray(betas, np.float64)
+    bones = np.asarray(bones, np.float64)
+    if betas.ndim == 1:
+        betas = betas[None]
+    if betas.shape[0] == 1:
+        betas = np.repeat(betas, len(gt_kps), 0)
+    rots = Rotation.from_rotvec(bones.reshape(-1, 3)).as_matrix().reshape(
+        *bones.shape[:2], 3, 3)
+
+    pred_kps = regress_joints(betas, rots, tables)[:, SPIN_TO_CANON]
+
+    # PA-MPJPE: per-frame similarity alignment of pred onto the mm-scale GT
+    # (scale is part of the alignment, so the mm units come from GT)
+    pa_errs = []
+    for p, g in zip(pred_kps, gt_kps):
+        z, _ = procrustes(g, p)
+        pa_errs.append(np.linalg.norm(z - g, axis=-1).mean())
+    pampjpe = float(np.mean(pa_errs))
+
+    # MPJPE: center both at canonical joint 14, GT mm -> m, report mm
+    pred_c = pred_kps - pred_kps[:, 14:15]
+    gt_c = (gt_kps - gt_kps[:, 14:15]) / 1000.0
+    mpjpe_mm = float(np.linalg.norm(pred_c - gt_c, axis=-1).mean() * 1000.0)
+
+    if ret_kp:
+        return pampjpe, mpjpe_mm, pred_kps
+    return pampjpe, mpjpe_mm
+
+
 def read_tfevent_scalars(logdir: str,
                          tags: Optional[Sequence[str]] = None
                          ) -> Dict[str, List]:
