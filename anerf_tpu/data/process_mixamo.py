@@ -85,4 +85,10 @@ def process_mixamo_data(data_path: str, subject: str = 'Kachujin',
     }
     out = os.path.join(data_path, f'{subject}_processed_h5py.h5')
     write_h5(out, data)
+    # MixamoDataset trains on a selected-idx subset; the authors ship the
+    # curated <subject>_selected.npy separately — emit an all-frames
+    # default so a fresh conversion is trainable out of the box
+    selected = out.replace('processed_h5py.h5', 'selected.npy')
+    if not os.path.exists(selected):
+        np.save(selected, np.arange(len(imgs)))
     return out

@@ -25,3 +25,18 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope='session')
+def smpl_tables_npz(tmp_path_factory):
+    """Precomputed SMPL joint tables (synthetic model) for converter
+    dry-runs; see tests/rawlayout.py and anerf_tpu/data/smpl_tables.py."""
+    from rawlayout import make_smpl_tables
+    return make_smpl_tables(tmp_path_factory.mktemp('smpl_tables'))
+
+
+@pytest.fixture
+def smpl_tables_env(smpl_tables_npz, monkeypatch):
+    from anerf_tpu.data.smpl_tables import ENV_VAR
+    monkeypatch.setenv(ENV_VAR, smpl_tables_npz)
+    return smpl_tables_npz

@@ -88,18 +88,13 @@ def main():
         for max_t in a.max_ts:
             if max_t // S < 1 and S > max_t:
                 continue
-            # forward
+            # forward: jit ONCE per config; timing a fresh jax.jit wrapper
+            # per call would re-trace every rep
+            fwd = jax.jit(lambda pp, S=S, max_t=max_t: fr.fused_encode_mlp_pts(
+                cfg.nerf, packed, pp, m_all, aux, S, tau, max_t=max_t))
             try:
-                dt, _ = time_call(
-                    lambda p_: fr.fused_encode_mlp_pts(
-                        cfg.nerf, packed, p_, m_all, aux, S, tau,
-                        max_t=max_t),
-                    pts, reps=a.reps)
-                dt2, _ = time_call(
-                    lambda p_: fr.fused_encode_mlp_pts(
-                        cfg.nerf, packed, p_, m_all, aux, S, tau,
-                        max_t=max_t),
-                    pts2, reps=a.reps)
+                dt, _ = time_call(fwd, pts, reps=a.reps)
+                dt2, _ = time_call(fwd, pts2, reps=a.reps)
                 row = {'kind': 'fwd', 'S': S, 'max_t': max_t,
                        'TR': fr._pick_tr(S, max_t),
                        'ms': round(min(dt, dt2) * 1000, 3)}
@@ -110,19 +105,13 @@ def main():
                        'error': str(e)[:100]}, flush=True)
             # backward, both cotangent flavors
             for bwd_f32 in (True, False):
+                bwd = jax.jit(
+                    lambda pp, S=S, max_t=max_t, bwd_f32=bwd_f32:
+                    fr._fused_bwd_impl(cfg.nerf, packed, pp, m_all, aux, S,
+                                       tau, g, bwd_f32, max_t=max_t))
                 try:
-                    dt, _ = time_call(
-                        lambda p_: jax.jit(
-                            lambda pp: fr._fused_bwd_impl(
-                                cfg.nerf, packed, pp, m_all, aux, S, tau,
-                                g, bwd_f32, max_t=max_t))(p_),
-                        pts, reps=a.reps)
-                    dt2, _ = time_call(
-                        lambda p_: jax.jit(
-                            lambda pp: fr._fused_bwd_impl(
-                                cfg.nerf, packed, pp, m_all, aux, S, tau,
-                                g, bwd_f32, max_t=max_t))(p_),
-                        pts2, reps=a.reps)
+                    dt, _ = time_call(bwd, pts, reps=a.reps)
+                    dt2, _ = time_call(bwd, pts2, reps=a.reps)
                     row = {'kind': f'bwd_{"f32" if bwd_f32 else "bf16"}',
                            'S': S, 'max_t': max_t,
                            'TR': fr._pick_tr(S, max_t),
