@@ -25,6 +25,7 @@ after a steady-state warmup, median reported (tunnel throughput varies
 import argparse
 import json
 import os
+import re
 import statistics
 import time
 
@@ -176,7 +177,6 @@ def measure_e2e(steps=4000, warm_steps=1500, cull_ratio=0.125,
     import tempfile
 
     from anerf_tpu.config import TrainConfig
-    from anerf_tpu.data.fixtures import make_synthetic_h5
     from anerf_tpu.data.surreal import SurrealDataset
     from anerf_tpu.train.loop import train
 
@@ -378,6 +378,32 @@ def _parse_style(style: str):
     return name, H
 
 
+def _style_h5(style: str):
+    """Resolve a style to (workdir, h5_path): synthetic fixture families
+    by name ('limbs', 'clutter@96'), or a REAL dataset h5 via 'h5:<path>'
+    (the real-scene culling A/B hook — tools/real_data_runbook.md §3;
+    refine cells additionally need gt_kp3d in the file)."""
+    import tempfile
+
+    from anerf_tpu.data.fixtures import make_synthetic_h5
+
+    if style.startswith('h5:'):
+        h5 = style[3:]
+        if not os.path.exists(h5):
+            raise FileNotFoundError(f'quality_ab style {style!r}: {h5}')
+        tag = re.sub(r'\W+', '_', os.path.abspath(h5)).strip('_')[-80:]
+        d = os.path.join(tempfile.gettempdir(), f'bench_qab_{tag}')
+        os.makedirs(d, exist_ok=True)
+        return d, h5
+    name, H = _parse_style(style)
+    d = os.path.join(tempfile.gettempdir(), f'bench_qab_{name}_{H}')
+    h5 = os.path.join(d, 'syn_train_h5py.h5')
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(h5):
+        make_synthetic_h5(h5, n_kps=8, n_cams=3, H=H, W=H, style=name)
+    return d, h5
+
+
 def _ensure_perturbed_h5(src_h5: str, dst_h5: str, seed: int,
                          ext_scale: float = 0.001):
     """Copy the fixture h5 with kp3d/bones/skts/cyls replaced by the
@@ -448,7 +474,6 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
     import tempfile
 
     from anerf_tpu.config import TrainConfig
-    from anerf_tpu.data.fixtures import make_synthetic_h5
     from anerf_tpu.data.surreal import SurrealDataset
     from anerf_tpu.train.loop import run_validation, train
 
@@ -467,12 +492,7 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
 
     rows = []
     for style in styles:
-        name, H = _parse_style(style)
-        d = os.path.join(tempfile.gettempdir(), f'bench_qab_{name}_{H}')
-        h5 = os.path.join(d, 'syn_train_h5py.h5')
-        os.makedirs(d, exist_ok=True)
-        if not os.path.exists(h5):
-            make_synthetic_h5(h5, n_kps=8, n_cams=3, H=H, W=H, style=name)
+        d, h5 = _style_h5(style)
         for seed in seeds:
             for label in variants:
                 over = AB_VARIANTS[label](cull_ratio)
@@ -489,7 +509,8 @@ def quality_ab(steps: int, styles, seeds, cull_ratio: float,
                                                           seed)
                     pose_extra['init_mpjpe_mm'] = round(init_mm, 1)
                 args = TrainConfig(
-                    expname=f'qab_{style}_{seed}_{label}'.replace('@', ''),
+                    expname=re.sub(r'\W+', '_',
+                                   f'qab_{style}_{seed}_{label}'),
                     basedir=d,
                     dataset_type=('h5',), subject=(train_h5,),
                     netdepth=8, netwidth=256, multires=7, multires_views=4,

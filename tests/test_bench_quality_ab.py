@@ -127,3 +127,24 @@ def test_perturbed_fixture_helper(tmp_path):
     # deterministic per seed: re-running reuses the existing file
     gt2, init2 = bench._ensure_perturbed_h5(src, dst, seed=0)
     assert init2 == init_mm
+
+
+def test_quality_ab_real_h5_style(stubbed_bench, tmp_path):
+    """'h5:<path>' styles run the A/B on a REAL dataset h5 in place of a
+    synthesized fixture (the real-scene hook, real_data_runbook.md §3)."""
+    bench, calls = stubbed_bench
+    real = tmp_path / 'scene' / 'real_train_h5py.h5'
+    os.makedirs(real.parent)
+    from anerf_tpu.data.fixtures import make_synthetic_h5
+    make_synthetic_h5(str(real), n_kps=4, n_cams=2, H=32, W=32)
+
+    state = str(tmp_path / 'state.jsonl')
+    bench.quality_ab(steps=4, styles=[f'h5:{real}'], seeds=[0],
+                     cull_ratio=0.125, state_path=state)
+    assert len(calls) == 2
+    rows = [json.loads(l) for l in open(state)]
+    assert all(r['style'] == f'h5:{real}' for r in rows)
+
+    with pytest.raises(FileNotFoundError):
+        bench.quality_ab(steps=4, styles=['h5:/nonexistent.h5'], seeds=[0],
+                         cull_ratio=0.125, state_path=state)
