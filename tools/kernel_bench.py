@@ -49,18 +49,58 @@ def setup(n_rays):
     return cfg, packed, m_all, aux, rng
 
 
-def time_call(fn, *args, reps=8, **kw):
-    out = fn(*args, **kw)
+#: The axon tunnel costs ~25 ms per dispatch round trip — far more than
+#: the 1-5 ms kernels being measured — so each timed dispatch chains N
+#: data-dependent kernel calls inside one jit, at TWO chain lengths, and
+#: the per-iteration time is the slope (wall_N2 - wall_N1)/(N2 - N1):
+#: fixed per-dispatch overhead cancels exactly.
+ITERS = (10, 50)
+
+
+def chain_fwd(fn_once, n):
+    """fn_once(pts) -> out (R, S, 4). Returns jit(pts) running n
+    data-chained calls (each input perturbed by the previous output so
+    XLA cannot CSE or elide any iteration)."""
+    def run(pts):
+        out = fn_once(pts)
+        for _ in range(n - 1):
+            out = fn_once(pts + out[..., :3] * 1e-6)
+        return out
+    return jax.jit(run)
+
+
+def chain_bwd(fn_once, n):
+    """fn_once(pts) -> (dWs, dpts, dm, daux); chains through dpts."""
+    def run(pts):
+        outs = fn_once(pts)
+        for _ in range(n - 1):
+            outs = fn_once(pts + outs[1] * 1e-6)
+        return outs[1]
+    return jax.jit(run)
+
+
+def _time_min(fn, pts, reps):
+    out = fn(pts)
     jax.block_until_ready(out)
-    # two distinct input sets would be ideal; the kernel inputs differ per
-    # rep via the pts argument the caller closes over
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
+        out = fn(pts)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    return min(ts), out
+    return min(ts)
+
+
+def time_call(chain, fn_once, pts, pts2, reps=8):
+    """Per-iteration seconds via the two-chain-length slope; min over two
+    distinct inputs (tunnel memoization hygiene)."""
+    n1, n2 = ITERS
+    f1, f2 = chain(fn_once, n1), chain(fn_once, n2)
+    per_iter = []
+    for p in (pts, pts2):
+        t1, t2 = _time_min(f1, p, reps), _time_min(f2, p, reps)
+        per_iter.append((t2 - t1) / (n2 - n1))
+    return min(per_iter)
 
 
 def main():
@@ -88,16 +128,13 @@ def main():
         for max_t in a.max_ts:
             if max_t // S < 1 and S > max_t:
                 continue
-            # forward: jit ONCE per config; timing a fresh jax.jit wrapper
-            # per call would re-trace every rep
-            fwd = jax.jit(lambda pp, S=S, max_t=max_t: fr.fused_encode_mlp_pts(
+            fn_fwd = (lambda pp, S=S, max_t=max_t: fr.fused_encode_mlp_pts(
                 cfg.nerf, packed, pp, m_all, aux, S, tau, max_t=max_t))
             try:
-                dt, _ = time_call(fwd, pts, reps=a.reps)
-                dt2, _ = time_call(fwd, pts2, reps=a.reps)
+                dt = time_call(chain_fwd, fn_fwd, pts, pts2, reps=a.reps)
                 row = {'kind': 'fwd', 'S': S, 'max_t': max_t,
                        'TR': fr._pick_tr(S, max_t),
-                       'ms': round(min(dt, dt2) * 1000, 3)}
+                       'ms': round(dt * 1000, 3)}
                 results.append(row)
                 print(row, flush=True)
             except Exception as e:
@@ -105,17 +142,17 @@ def main():
                        'error': str(e)[:100]}, flush=True)
             # backward, both cotangent flavors
             for bwd_f32 in (True, False):
-                bwd = jax.jit(
+                fn_bwd = (
                     lambda pp, S=S, max_t=max_t, bwd_f32=bwd_f32:
                     fr._fused_bwd_impl(cfg.nerf, packed, pp, m_all, aux, S,
                                        tau, g, bwd_f32, max_t=max_t))
                 try:
-                    dt, _ = time_call(bwd, pts, reps=a.reps)
-                    dt2, _ = time_call(bwd, pts2, reps=a.reps)
+                    dt = time_call(chain_bwd, fn_bwd, pts, pts2,
+                                   reps=a.reps)
                     row = {'kind': f'bwd_{"f32" if bwd_f32 else "bf16"}',
                            'S': S, 'max_t': max_t,
                            'TR': fr._pick_tr(S, max_t),
-                           'ms': round(min(dt, dt2) * 1000, 3)}
+                           'ms': round(dt * 1000, 3)}
                     results.append(row)
                     print(row, flush=True)
                 except Exception as e:
