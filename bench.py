@@ -739,10 +739,13 @@ def main():
                         'with spread (VERDICT r3 #2)')
     p.add_argument('--ab_cull', type=float, default=0.125)
     p.add_argument('--ab_variants', nargs='+',
-                   default=['control', 'culled'],
+                   default=['control', 'culled', 'refine', 'refine_culled'],
                    choices=sorted(AB_VARIANTS),
                    help='named configs to train per fixture/seed '
-                        '(control = protocol default)')
+                        '(control = protocol default). The no-flags '
+                        'default regenerates the FULL evidence table — '
+                        'cull A/B plus the pose-refinement cells '
+                        '(VERDICT r3 #2)')
     p.add_argument('--ab_state', type=str, default=None,
                    help='JSONL resume file for --quality_ab (default '
                         '<tmpdir>/bench_qab_state.jsonl); finished cells '

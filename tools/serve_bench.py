@@ -32,6 +32,10 @@ acquire()
 p = argparse.ArgumentParser()
 p.add_argument('--n_req', type=int, default=8)
 p.add_argument('--res', type=int, default=128)
+p.add_argument('--tcp_clients', type=int, default=0,
+               help='also measure the TCP front-end: N concurrent client '
+                    'PROCESSES hammering one server, vs 1 client sending '
+                    'the same requests sequentially')
 cli = p.parse_args()
 
 from anerf_tpu.config import TrainConfig
@@ -121,7 +125,7 @@ t0 = time.perf_counter()
 sess.render_prepared(timed_preps)
 coalesced = time.perf_counter() - t0
 
-print(json.dumps({
+result = {
     'metric': 'serve_coalesce_speedup',
     'n_requests': cli.n_req,
     'res': cli.res,
@@ -130,4 +134,100 @@ print(json.dumps({
     'coalesced_s_per_req': round(coalesced / cli.n_req, 3),
     'value': round(serial / coalesced, 2),
     'unit': 'x (serial / coalesced wall time)',
-}))
+}
+
+if cli.tcp_clients:
+    # TCP front-end under REAL concurrency: the server runs in a thread
+    # (it owns this process's device client); N client processes each
+    # send n_req/N bullet requests with distinct poses. Warm pass uses
+    # poses 0-7, timed passes poses 8-15 (tunnel memoization hygiene).
+    import subprocess
+    import threading
+
+    class _ReadyPipe:
+        """Captures serve_tcp's ready line; exposes the bound port."""
+        def __init__(self):
+            self.evt = threading.Event()
+            self.port = None
+
+        def write(self, s):
+            for ln in s.strip().splitlines():
+                try:
+                    self.port = json.loads(ln)['port']
+                    self.evt.set()
+                except Exception:
+                    pass
+
+        def flush(self):
+            pass
+
+    ready = _ReadyPipe()
+    srv_args = argparse.Namespace(**vars(r_args))
+    threading.Thread(target=rr.serve_tcp, args=(srv_args,),
+                     kwargs={'port': 0, 'stdout': ready},
+                     daemon=True).start()
+    assert ready.evt.wait(timeout=600), 'server never became ready'
+    port = ready.port
+
+    CLIENT = (
+        "import json,socket,sys,time\n"
+        "port,base,n=int(sys.argv[1]),int(sys.argv[2]),int(sys.argv[3])\n"
+        "s=socket.create_connection(('127.0.0.1',port),timeout=600)\n"
+        "f=s.makefile('r')\n"
+        "lats=[]\n"
+        "for j in range(n):\n"
+        "    t0=time.perf_counter()\n"
+        "    s.sendall((json.dumps({'render_type':'bullet',"
+        "'selected_idxs':[(base+j)%8+8],'runname':'tcp%d_%d'%(base,j),"
+        "'no_save':True})+'\\n').encode())\n"
+        "    r=json.loads(f.readline())\n"
+        "    assert r['ok'],r\n"
+        "    lats.append(time.perf_counter()-t0)\n"
+        "print(json.dumps(lats))\n")
+
+    def run_clients(n_clients, per_client):
+        procs = [subprocess.Popen(
+            [sys.executable, '-c', CLIENT, str(port), str(i * per_client),
+             str(per_client)], stdout=subprocess.PIPE, text=True)
+            for i in range(n_clients)]
+        t0 = time.perf_counter()
+        lats = []
+        for pr in procs:
+            out, _ = pr.communicate(timeout=1200)
+            assert pr.returncode == 0
+            lats += json.loads(out)
+        return time.perf_counter() - t0, lats
+
+    # warmup (compile both shapes) on the warm pose set
+    import socket as _socket
+    ws = _socket.create_connection(('127.0.0.1', port), timeout=600)
+    wf = ws.makefile('r')
+    for i in range(2):
+        ws.sendall((json.dumps({'render_type': 'bullet',
+                                'selected_idxs': [i], 'runname': f'w{i}',
+                                'no_save': True}) + '\n').encode())
+        json.loads(wf.readline())
+    # coalesced-shape warm: burst 4 without reading
+    for i in range(2, 6):
+        ws.sendall((json.dumps({'render_type': 'bullet',
+                                'selected_idxs': [i], 'runname': f'wb{i}',
+                                'no_save': True}) + '\n').encode())
+    for _ in range(4):
+        json.loads(wf.readline())
+
+    seq_wall, seq_lats = run_clients(1, cli.n_req)
+    con_wall, con_lats = run_clients(cli.tcp_clients,
+                                     cli.n_req // cli.tcp_clients)
+    ws.sendall(b'{"cmd": "quit"}\n')
+    result['tcp'] = {
+        'n_requests': cli.n_req, 'clients': cli.tcp_clients,
+        'sequential_req_per_s': round(cli.n_req / seq_wall, 3),
+        'concurrent_req_per_s': round(cli.n_req / con_wall, 3),
+        'sequential_mean_latency_s': round(
+            sum(seq_lats) / len(seq_lats), 3),
+        'concurrent_mean_latency_s': round(
+            sum(con_lats) / len(con_lats), 3),
+        'throughput_gain': round(seq_wall / con_wall, 2),
+    }
+
+print(json.dumps(result))
