@@ -54,7 +54,8 @@ def setup(n_rays):
 #: data-dependent kernel calls inside one jit, at TWO chain lengths, and
 #: the per-iteration time is the slope (wall_N2 - wall_N1)/(N2 - N1):
 #: fixed per-dispatch overhead cancels exactly.
-ITERS = (10, 50)
+ITERS = tuple(int(x) for x in
+              os.environ.get('KB_ITERS', '10,50').split(','))
 
 
 def chain_fwd(fn_once, n):
@@ -103,6 +104,101 @@ def time_call(chain, fn_once, pts, pts2, reps=8):
     return min(per_iter)
 
 
+def decompose(cfg, packed, m_all, aux, rng, R, shapes, reps):
+    """Time stripped-down FORWARD kernel variants to attribute in-kernel
+    cost: world->local transform only; transform + cutoff-PE; full
+    (transform + PE + MLP). Differences give the per-stage cost — the
+    evidence base for where the fused kernel's non-MXU time goes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from anerf_tpu.kernels import fused_render as fr
+    from anerf_tpu.kernels.fused_mlp import LANE, _rup
+
+    names = fr._names(cfg.nerf)
+
+    def make_variant(stage, S, TR):
+        def kernel(pts_ref, m_ref, aux_ref, tau_ref, *refs):
+            w = fr._read_weights(cfg.nerf, refs[:-1])
+            out_ref = refs[-1]
+            t = fr._transform_tile(S, TR, pts_ref, m_ref, aux_ref)
+            if stage == 'transform':
+                out_ref[:] = (t['v'][:, :LANE] + t['r'][:, :LANE]
+                              + t['d'][:, :LANE])
+                return
+            out, c = fr._forward_trace(cfg.nerf, w, t['v'], t['r'],
+                                       t['d'], t['fc'], tau_ref[0, 0])
+            if stage == 'pe':
+                # consume every PE band via cheap reductions so Mosaic
+                # cannot dead-code-eliminate the trig (the MLP part of
+                # _forward_trace IS dead here and gets eliminated)
+                acc = jnp.zeros((pts_ref.shape[0], 1), jnp.float32)
+                for k in ('sv', 'cv', 'sd', 'cd', 'vraw', 'draw'):
+                    acc += jnp.sum(c[k].astype(jnp.float32), -1,
+                                   keepdims=True)
+                out_ref[:] = jnp.broadcast_to(acc, out_ref.shape)
+            else:
+                out_ref[:] = out
+
+        T = TR * S
+        R_pad = _rup(R, TR)
+        m_p = jnp.pad(m_all, ((0, (R_pad - R) * 3), (0, 0)))
+        aux_p = jnp.pad(aux, ((0, R_pad - R), (0, 0)))
+        weight_args = [packed[n] if packed[n].ndim == 2 else
+                       packed[n].reshape(1, -1) for n in names]
+
+        def call(pts):
+            pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))
+                            ).reshape(R_pad * S, 3)
+            tau_arr = jnp.asarray(2000.0, jnp.float32).reshape(1, 1)
+            in_specs = [
+                pl.BlockSpec((T, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR * 3, fr.SEG), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 3 * fr.SEG), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ] + [pl.BlockSpec(a.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+                 for a in weight_args]
+            out = pl.pallas_call(
+                kernel,
+                grid=(R_pad // TR,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((T, LANE), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((R_pad * S, LANE),
+                                               jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=jax.default_backend() != 'tpu',
+            )(pts_p, m_p, aux_p, tau_arr, *weight_args)
+            return out.reshape(R_pad, S, LANE)[:R, :, :4]
+        return call
+
+    results = []
+    for S in shapes:
+        from anerf_tpu.kernels.fused_render import _pick_tr
+        TR = _pick_tr(S, 1024)
+        pts = jnp.asarray(rng.normal(size=(R, S, 3)).astype(np.float32)
+                          * 0.3)
+        pts2 = pts + 0.01
+        row = {'S': S, 'TR': TR}
+        for stage in ('transform', 'pe', 'full'):
+            fn = make_variant(stage, S, TR)
+            dt = time_call(chain_fwd, fn, pts, pts2, reps=reps)
+            row[stage + '_ms'] = round(dt * 1000, 3)
+        row['pe_only_ms'] = round(row['pe_ms'] - row['transform_ms'], 3)
+        row['mlp_only_ms'] = round(row['full_ms'] - row['pe_ms'], 3)
+        results.append(row)
+        print(row, flush=True)
+    print(json.dumps({'metric': 'kernel_decompose', 'rows': results}))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--rays', type=int, default=2048)
@@ -110,12 +206,17 @@ def main():
     p.add_argument('--shapes', nargs='+', type=int, default=[64, 80, 8, 24])
     p.add_argument('--max_ts', nargs='+', type=int,
                    default=[256, 512, 1024, 2048])
+    p.add_argument('--decompose', action='store_true',
+                   help='attribute in-kernel forward cost: transform / '
+                        'cutoff-PE / MLP stage timings per shape')
     a = p.parse_args()
 
     from anerf_tpu.kernels import fused_render as fr
 
     cfg, packed, m_all, aux, rng = setup(a.rays)
     R = a.rays
+    if a.decompose:
+        return decompose(cfg, packed, m_all, aux, rng, R, a.shapes, a.reps)
     tau = jnp.float32(2000.0)
     results = []
 
