@@ -43,6 +43,111 @@ N_JOINTS = 24
 SEG = 128                     # aligned segment width
 IN_WIDTH = 4 * SEG            # [v | r | d | fc] segments
 
+def _fast_sincos(x):
+    """(sin x, cos x) via one shared range reduction + short polynomials.
+
+    The PE stage is the kernel's dominant cost and jnp.sin/jnp.cos are
+    its dominant ops (measured: tools/kernel_bench.py --decompose,
+    PERF.md round 4). The band values feed the MLP through an immediate
+    bfloat16 cast (rel 4e-3), so library-exact trig buys nothing; this
+    pair is accurate to 3e-6 abs — ~1000x below the intended numerics —
+    at roughly a third of the VPU ops:
+
+      k = round(x/pi); r = x - k*pi (two-term pi, exact to |k|~1e5)
+      sin x = (-1)^k * r*P3(r^2);  cos x = (-1)^k * Q4(r^2)
+
+    with P3/Q4 least-squares fits on [-pi/2, pi/2] (max err 3.0e-6 /
+    1.3e-7, /tmp-fit regenerable from the coefficients' docstring).
+    Autodiff is exact a.e. (round/sign contribute zero cotangent), so
+    the jax.grad'd pure-jnp replica in tests stays consistent.
+    Patchable (tools/kernel_bench.py --decompose swaps in stand-ins to
+    attribute trig cost)."""
+    f32 = jnp.float32
+    x = x.astype(f32)
+    k = jnp.round(x * f32(0.3183098861837907))
+    r = x - k * f32(3.1415927410125732) - k * f32(-8.742277657347586e-08)
+    t = r * r
+    s = r * (f32(9.9999947025e-01) + t * (f32(-1.6665891424e-01)
+             + t * (f32(8.3159662064e-03) + t * f32(-1.8609024888e-04))))
+    c = (f32(9.9999996727e-01) + t * (f32(-4.9999926897e-01)
+         + t * (f32(4.1664091340e-02) + t * (f32(-1.3857421663e-03)
+                + t * f32(2.3237641653e-05)))))
+    half = k * 0.5
+    sign = 1.0 - 4.0 * jnp.abs(half - jnp.round(half))   # (-1)^k
+    return s * sign, c * sign
+
+
+#: sin/cos pair used by the PE stage — patchable by
+#: tools/kernel_bench.py's --decompose trig variants to attribute the
+#: transcendental share of the PE stage cost. Production code never
+#: changes this.
+_SINCOS = _fast_sincos
+
+
+# ---- exact-geometry dots ------------------------------------------------
+# On TPU, f32 matmuls at Precision.DEFAULT run as a SINGLE bf16 MXU pass:
+# operands are truncated to 8 mantissa bits. For the geometry dots below
+# that is NOT acceptable — a 4e-3 relative error on a distance v becomes
+# 2^k*v*4e-3 ~ 0.5 rad of PE angle error at k=6, and flips tau=2000
+# sigmoid cutoff windows (measured: raw-output error 0.054 abs / 16% rel
+# vs the exact replica, tools/pe_fidelity.py). The fix is the classic
+# hi/lo split: x = hi + lo with hi = bf16(x) EXACTLY representable, so
+# dot(hi, M) is lossless and only the small residual lo (|lo| <= 4e-3|x|)
+# is truncated — total relative error ~1.6e-5, ~250x below the kernel's
+# intended bf16 output numerics. Cost: one extra MXU pass per dot (two
+# for value*value), on dots that are a small share of the kernel's FLOPs.
+
+def _hi_lo(x):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dot_vo(x, M):
+    """x (values, f32) @ M (EXACT in bf16: one-hot / powers of two)."""
+    hi, lo = _hi_lo(x)
+    f32 = jnp.float32
+    return (jnp.dot(hi, M, preferred_element_type=f32)
+            + jnp.dot(lo, M, preferred_element_type=f32))
+
+
+def _dot_ov(oh, x):
+    """oh (EXACT in bf16) @ x (values, f32)."""
+    hi, lo = _hi_lo(x)
+    f32 = jnp.float32
+    return (jnp.dot(oh, hi, preferred_element_type=f32)
+            + jnp.dot(oh, lo, preferred_element_type=f32))
+
+
+def _dg_vo(x, M, dims):
+    """dot_general(x, M, dims) with x split (M exact in bf16)."""
+    hi, lo = _hi_lo(x)
+    f32 = jnp.float32
+    return (jax.lax.dot_general(hi, M, (dims, ((), ())),
+                                preferred_element_type=f32)
+            + jax.lax.dot_general(lo, M, (dims, ((), ())),
+                                  preferred_element_type=f32))
+
+
+def _dg_ov(oh, x, dims):
+    """dot_general(oh, x, dims) with x split (oh exact in bf16)."""
+    hi, lo = _hi_lo(x)
+    f32 = jnp.float32
+    return (jax.lax.dot_general(oh, hi, (dims, ((), ())),
+                                preferred_element_type=f32)
+            + jax.lax.dot_general(oh, lo, (dims, ((), ())),
+                                  preferred_element_type=f32))
+
+
+def _dg_vv(a, b, dims):
+    """dot_general(a, b, dims), both real-valued: bf16x3 passes
+    (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi), relative error ~1e-5."""
+    ah, al = _hi_lo(a)
+    bh, bl = _hi_lo(b)
+    f32 = jnp.float32
+    dg = lambda x, y: jax.lax.dot_general(x, y, (dims, ((), ())),
+                                          preferred_element_type=f32)
+    return dg(ah, bh) + dg(ah, bl) + dg(al, bh)
+
 
 def fused_render_supported(rcfg) -> bool:
     """Static check that the RenderConfig matches the kernel family."""
@@ -229,13 +334,22 @@ def _read_weights(ncfg: NeRFConfig, refs):
     return w
 
 
-def _forward_trace(ncfg: NeRFConfig, w, v, r, d, fc, tau):
+def _forward_trace(ncfg: NeRFConfig, w, v, r, d, fc, tau,
+                   d_ray=None, B=None):
     """Cutoff-PE + full MLP on segment-aligned inputs, all in VMEM.
 
     v/r/d/fc are (T, SEG) f32 with 24/72/72/fc_ch valid lanes (pad lanes
     may hold garbage — their weight rows are zero). Returns (out, cache);
     the cache holds every intermediate the backward kernel needs (Mosaic
     dead-code-eliminates unused entries in the forward-only kernels).
+
+    d_ray (TR, SEG) + B (T, TR one-hot), when given, enable the per-ray
+    view-PE fast path: the view dirs are CONSTANT across a ray's S
+    samples, so sin/cos of the 2^k*d angle bands are computed on the TR
+    per-ray rows (S x fewer transcendentals — the PE stage dominates the
+    kernel, see PERF.md round 4) and expanded to the T point rows by the
+    exact one-hot matmul. Identical math; the per-point path remains for
+    the packed-input (v2) kernel which has no ray structure.
     """
     f32 = jnp.float32
     bf = jnp.bfloat16
@@ -244,16 +358,24 @@ def _forward_trace(ncfg: NeRFConfig, w, v, r, d, fc, tau):
     # weight rows are zero, so they never reach the MLP
     w24 = 1.0 - jax.nn.sigmoid(tau * (v - w['cut'].reshape(-1)))
 
-    ang_v = jnp.dot(v, w['F_v'], preferred_element_type=f32)
+    ang_v = _dot_vo(v, w['F_v'])
+    # windows are in [0,1] and multiply bands that are cast to bf16 right
+    # after: single-pass (4e-3) is at the intended numerics already
     wrep_v = jnp.dot(w24, w['R_v'], preferred_element_type=f32)
-    sin_v, cos_v = jnp.sin(ang_v), jnp.cos(ang_v)
+    sin_v, cos_v = _SINCOS(ang_v)
     sv = (sin_v * wrep_v).astype(bf)
     cv = (cos_v * wrep_v).astype(bf)
     vraw = (v * w24).astype(bf)
 
-    ang_d = jnp.dot(d, w['F_d'], preferred_element_type=f32)
     wrep_d = jnp.dot(w24, w['R_d'], preferred_element_type=f32)
-    sin_d, cos_d = jnp.sin(ang_d), jnp.cos(ang_d)
+    if d_ray is not None:
+        ang_d_ray = _dot_vo(d_ray, w['F_d'])           # (TR, NKd)
+        s_ray, c_ray = _SINCOS(ang_d_ray)
+        sin_d = _dot_ov(B, s_ray)                      # (T, NKd)
+        cos_d = _dot_ov(B, c_ray)
+    else:
+        ang_d = _dot_vo(d, w['F_d'])
+        sin_d, cos_d = _SINCOS(ang_d)
     sd = (sin_d * wrep_d).astype(bf)
     cd = (cos_d * wrep_d).astype(bf)
     w72 = jnp.dot(w24, w['R72'], preferred_element_type=f32)
@@ -303,8 +425,9 @@ def _forward_trace(ncfg: NeRFConfig, w, v, r, d, fc, tau):
     return out + w['b_out'].reshape(1, -1), c
 
 
-def _pe_mlp_body(ncfg: NeRFConfig, w, v, r, d, fc, tau):
-    return _forward_trace(ncfg, w, v, r, d, fc, tau)[0]
+def _pe_mlp_body(ncfg: NeRFConfig, w, v, r, d, fc, tau,
+                 d_ray=None, B=None):
+    return _forward_trace(ncfg, w, v, r, d, fc, tau, d_ray=d_ray, B=B)[0]
 
 
 def _render_kernel(ncfg: NeRFConfig, x_ref, tau_ref, *refs):
@@ -339,34 +462,38 @@ def _transform_tile(S: int, TR: int, pts_ref, m_ref, aux_ref):
     T3 = (jax.lax.broadcasted_iota(jnp.int32, (3, TR * 3), 1) % 3
           == jax.lax.broadcasted_iota(jnp.int32, (3, TR * 3), 0)
           ).astype(f32)
-    rep = jnp.dot(x3, T3, preferred_element_type=f32)  # (T, TR*3)
+    rep = _dot_vo(x3, T3)                             # (T, TR*3)
     rr = jax.lax.broadcasted_iota(jnp.int32, (T, TR * 3), 0) // S
     cc = jax.lax.broadcasted_iota(jnp.int32, (T, TR * 3), 1) // 3
     mask = (rr == cc).astype(f32)
     xp3 = rep * mask
 
     M = m_ref[:]                                      # (TR*3, SEG)
-    aux = jnp.dot(B, aux_ref[:], preferred_element_type=f32)  # (T, 3*SEG)
+    aux_raw = aux_ref[:]                              # (TR, 3*SEG), per-ray
+    aux = _dg_ov(B, aux_raw, ((1,), (0,)))            # (T, 3*SEG)
     trans = aux[:, 0:SEG]
     d = aux[:, SEG:2 * SEG]
     fc = aux[:, 2 * SEG:3 * SEG]
+    d_ray = aux_raw[:, SEG:2 * SEG]                   # (TR, SEG) unit dirs
 
     # local coords, distances, unit dirs (ops/encoding.py flat layout)
-    pts_t = jnp.dot(xp3, M, preferred_element_type=f32) + trans
+    pts_t = _dg_vv(xp3, M, ((1,), (0,))) + trans
     G = ((jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 0) // 3
           == jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 1))
          & (jax.lax.broadcasted_iota(jnp.int32, (SEG, SEG), 0) < 72)
          ).astype(f32)                                 # (c, c//3) for c<72
-    v2s = jnp.dot(pts_t * pts_t, G, preferred_element_type=f32)
+    v2s = _dot_vo(pts_t * pts_t, G)
     # floor keeps sqrt autodiff-safe on the all-zero pad lanes (the pure
     # jnp replica of this tile math is jax.grad'd in tests)
     v = jnp.sqrt(jnp.maximum(v2s, 1e-24))              # lanes 0:24
     vinv = 1.0 / jnp.maximum(v, 1e-12)
+    # single-pass is fine here: r feeds the MLP through a bf16 cast, so
+    # 4e-3 relative on the unit dirs is at the intended numerics already
     vexp = jnp.dot(vinv, G.T, preferred_element_type=f32)
     r_dirs = pts_t * vexp
     return dict(B=B, T3=T3, mask=mask, xp3=xp3, M=M, G=G,
                 pts_t=pts_t, v=v, vinv=vinv, vexp=vexp,
-                r=r_dirs, d=d, fc=fc)
+                r=r_dirs, d=d, fc=fc, d_ray=d_ray)
 
 
 def _render_kernel_pts(ncfg: NeRFConfig, S: int, TR: int,
@@ -376,7 +503,7 @@ def _render_kernel_pts(ncfg: NeRFConfig, S: int, TR: int,
     out_ref = refs[-1]
     t = _transform_tile(S, TR, pts_ref, m_ref, aux_ref)
     out_ref[:] = _pe_mlp_body(ncfg, w, t['v'], t['r'], t['d'], t['fc'],
-                              tau_ref[0, 0])
+                              tau_ref[0, 0], d_ray=t['d_ray'], B=t['B'])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -444,7 +571,8 @@ def pack_ray_data(rays_d: jnp.ndarray, skts: jnp.ndarray,
     rot_cols = skts[..., :3, :3].transpose(0, 3, 1, 2).reshape(R, 3, J * 3)
     trans = skts[..., :3, 3].reshape(R, J * 3)
 
-    rays_flat = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols)[:, 0]  # (R, 72)
+    rays_flat = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols,
+                           precision='highest')[:, 0]  # (R, 72)
     dss = _group3_sumsq(rays_flat, J)
     dinv = _expand3(jax.lax.rsqrt(jnp.maximum(dss, 1e-24)), J)
     d = rays_flat * dinv
@@ -524,7 +652,8 @@ def _trainable_names(ncfg: NeRFConfig):
 
 def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
                            bwd_f32: bool,
-                           pts_ref, m_ref, aux_ref, tau_ref, g_ref, *refs):
+                           pts_ref, m_ref, aux_ref, tau_ref, g_ref, *refs,
+                           stage: str = 'full'):
     """Fused backward: recompute the forward per tile (flash-style), then
     backprop through MLP, cutoff-PE, and the world->local transform in
     VMEM. Input grads (dpts/dm/daux) are per-tile block writes; weight
@@ -537,6 +666,13 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
     not traffic); True keeps them f32 end to end (value-preserving — the
     protocol-default numerics, fused). The transform backward — the
     pose-refinement path — is f32 in both flavors.
+
+    stage is a MEASUREMENT hook (tools/kernel_bench.py --decompose_bwd;
+    production always runs 'full'): 'recompute' stops after the forward
+    recompute, 'mlp' after the trunk/head backward, 'pe' after the
+    cutoff-PE backward — each writes cheap digests of its live values to
+    the input-grad refs (Mosaic dead-code-eliminates the rest), so stage
+    differences attribute the backward's in-kernel cost.
     """
     names = _names(ncfg)
     w = _read_weights(ncfg, refs[:len(names)])
@@ -545,8 +681,27 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
     tau = tau_ref[0, 0]
     T = TR * S
 
+    def _stop(rows=(), full=()):
+        """Write cheap digests of the live values to the 3 input-grad
+        refs (staged calls are built with only those outputs): `rows`
+        contribute their first 3 lanes, `full` arrays a total sum — both
+        force Mosaic to keep every op that produced them."""
+        dpts_ref, dm_ref, daux_ref = out_refs[0], out_refs[1], out_refs[2]
+        acc = jnp.zeros((T, 3), f32)
+        for a in rows:
+            acc += a[:T, :3].astype(f32)
+        s = jnp.zeros((), f32)
+        for a in full:
+            s += jnp.sum(a.astype(f32))
+        dpts_ref[:] = acc + s * 1e-30
+        dm_ref[:] = jnp.zeros_like(dm_ref)
+        daux_ref[:] = jnp.zeros_like(daux_ref)
+
     t = _transform_tile(S, TR, pts_ref, m_ref, aux_ref)
-    _, c = _forward_trace(ncfg, w, t['v'], t['r'], t['d'], t['fc'], tau)
+    fwd_out, c = _forward_trace(ncfg, w, t['v'], t['r'], t['d'], t['fc'],
+                                tau, d_ray=t['d_ray'], B=t['B'])
+    if stage == 'recompute':
+        return _stop(rows=(fwd_out,))
 
     cot = f32 if bwd_f32 else bf
 
@@ -558,10 +713,6 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
     def mmO(x, dy):  # (T, K) x (T, N) -> (K, N), bf16 operands
         return jax.lax.dot_general(x.astype(cot), dy.astype(cot),
                                    (((0,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
-
-    def dgf(a, b, dims):  # f32 dot_general (transform path)
-        return jax.lax.dot_general(a, b, (dims, ((), ())),
                                    preferred_element_type=f32)
 
     def relu_mask(x):  # Mosaic rejects bf16 comparisons: compare in f32
@@ -630,38 +781,47 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
     dcv += mmT(dh, w['w0_cos'])
     drb += mmT(dh, w['w0_bone'])
 
-    # cutoff-PE backward (bf16 band cotangents, f32 reductions)
+    if stage == 'mlp':
+        return _stop(rows=(dvraw, dsv, dcv, drb, dsd, dcd, ddraw, dfc),
+                     full=tuple(dW.values()))
+
+    # cutoff-PE backward (bf16 band cotangents, f32 reductions). The
+    # geometry-bound dots below use the exact hi/lo splits: this is the
+    # pose-refinement grad path, and F_*/R_*/G/T3 are exact in bf16.
     dang_v = (dsv * c['cos_v'] - dcv * c['sin_v']) * c['wrep_v']
     dwrep_v = dsv * c['sin_v'] + dcv * c['cos_v']
     dang_d = (dsd * c['cos_d'] - dcd * c['sin_d']) * c['wrep_d']
     dwrep_d = dsd * c['sin_d'] + dcd * c['cos_d']
-    dv = mmT(dang_v, w['F_v'])
-    dw24 = mmT(dwrep_v, w['R_v'])
-    dd = mmT(dang_d, w['F_d'])
-    dw24 += mmT(dwrep_d, w['R_d'])
+    dv = _dg_vo(dang_v, w['F_v'], ((1,), (1,)))
+    dw24 = _dg_vo(dwrep_v, w['R_v'], ((1,), (1,)))
+    dd = _dg_vo(dang_d, w['F_d'], ((1,), (1,)))
+    dw24 += _dg_vo(dwrep_d, w['R_d'], ((1,), (1,)))
     dd += ddraw * c['w72']
-    dw24 += mmT(ddraw * t['d'], w['R72'])
+    dw24 += _dg_vo(ddraw * t['d'], w['R72'], ((1,), (1,)))
     dv += dvraw * c['w24']
     dw24 += dvraw * t['v']
     # w24 = 1 - sigmoid(tau*(v - cut))
     sig = 1.0 - c['w24']
     dv += tau * dw24 * (-sig * c['w24'])
 
-    # transform backward (f32: this is the pose-refinement grad path)
+    if stage == 'pe':
+        return _stop(rows=(dv, dd, drb), full=tuple(dW.values()))
+
+    # transform backward (exact f32: the pose-refinement grad path)
     G = t['G']
     dpts_t = drb * t['vexp']
     dvexp = drb * t['pts_t']
-    dvinv = dgf(dvexp, G, ((1,), (0,)))            # vexp = vinv @ G.T
+    dvinv = _dg_vo(dvexp, G, ((1,), (0,)))         # vexp = vinv @ G.T
     dv += -dvinv * t['vinv'] * t['vinv'] * (t['v'] > 1e-12)
     dv2s = dv * 0.5 * t['vinv']                    # v = sqrt(v2s)
-    dsq = dgf(dv2s, G, ((1,), (1,)))               # v2s = sq @ G -> @ G.T
+    dsq = _dg_vo(dv2s, G, ((1,), (1,)))            # v2s = sq @ G -> @ G.T
     dpts_t += dsq * 2.0 * t['pts_t']
 
-    dxp3 = dgf(dpts_t, t['M'], ((1,), (1,)))       # (T, TR*3)
-    dM = dgf(t['xp3'], dpts_t, ((0,), (0,)))       # (TR*3, SEG)
-    dx3 = dgf(dxp3 * t['mask'], t['T3'], ((1,), (1,)))   # (T, 3)
+    dxp3 = _dg_vv(dpts_t, t['M'], ((1,), (1,)))    # (T, TR*3)
+    dM = _dg_vv(t['xp3'], dpts_t, ((0,), (0,)))    # (TR*3, SEG)
+    dx3 = _dg_vo(dxp3 * t['mask'], t['T3'], ((1,), (1,)))   # (T, 3)
     daux_t = jnp.concatenate([dpts_t, dd, dfc], axis=-1)
-    daux = dgf(t['B'], daux_t, ((0,), (0,)))       # (TR, 3*SEG)
+    daux = _dg_ov(t['B'], daux_t, ((0,), (0,)))    # (TR, 3*SEG)
 
     dpts_ref, dm_ref, daux_ref = out_refs[0], out_refs[1], out_refs[2]
     dpts_ref[:] = dx3
@@ -821,7 +981,8 @@ def build_raw_inputs(pts: jnp.ndarray, rays_d: jnp.ndarray,
     r = pts_t * inv                                        # (R, S, 72)
 
     rot_cols = skts[..., :3, :3].transpose(0, 3, 1, 2).reshape(R, 3, J * 3)
-    rays_flat = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols)  # (R, 1, 72)
+    rays_flat = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols,
+                           precision='highest')  # (R, 1, 72)
     dss = _group3_sumsq(rays_flat, J)
     dinv = _expand3(jax.lax.rsqrt(jnp.maximum(dss, 1e-24)), J)
     d = jnp.broadcast_to(rays_flat * dinv, (R, S, 72))

@@ -7,6 +7,16 @@ over the (rays, samples, joints) lattice instead of expand/transpose/bmm.
 
 Shapes throughout: pts (R, S, 3), skts (R, J, 4, 4), kps (R, J, 3),
 rays_d (R, 1, 3). All static under jit.
+
+Every geometry einsum here runs at precision='highest': TPU default
+precision executes f32 matmuls as a SINGLE bf16 MXU pass, and a 4e-3
+relative truncation on a local coordinate becomes 2^k * 4e-3 of PE angle
+error at frequency band k (and flips tau=2000 sigmoid cutoff windows).
+Measured on-chip before the fix: encoded-feature error up to 0.32 abs at
+tau=2000; after: at the intended bf16-output numerics (~4e-3). See
+tools/pe_fidelity.py and PERF.md round 4. These einsums are tiny
+(per-ray/per-joint) next to the per-point MLP, so the extra passes are
+free.
 """
 from __future__ import annotations
 
@@ -28,7 +38,7 @@ def transform_batch_pts(pts: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
     rot = skts[..., :3, :3]       # (R, J, 3, 3)
     trans = skts[..., :3, 3]      # (R, J, 3)
     # out[r,s,j,a] = sum_b rot[r,j,a,b] * pts[r,s,b] + trans[r,j,a]
-    out = jnp.einsum('rjab,rsb->rsja', rot, pts)
+    out = jnp.einsum('rjab,rsb->rsja', rot, pts, precision='highest')
     return out + trans[:, None]
 
 
@@ -44,7 +54,8 @@ def transform_batch_pts_flat(pts: jnp.ndarray, skts: jnp.ndarray
     R, J = skts.shape[0], skts.shape[1]
     rot_cols = skts[..., :3, :3].transpose(0, 3, 1, 2).reshape(R, 3, J * 3)
     trans = skts[..., :3, 3].reshape(R, 1, J * 3)
-    return jnp.einsum('rsb,rbc->rsc', pts, rot_cols) + trans
+    return jnp.einsum('rsb,rbc->rsc', pts, rot_cols,
+                      precision='highest') + trans
 
 
 def _group3_sumsq(x_flat: jnp.ndarray, J: int) -> jnp.ndarray:
@@ -56,7 +67,8 @@ def _group3_sumsq(x_flat: jnp.ndarray, J: int) -> jnp.ndarray:
     G = jnp.zeros((J * 3, J), x_flat.dtype)
     idx = jnp.arange(J * 3)
     G = G.at[idx, idx // 3].set(1.0)
-    return jnp.einsum('...c,cj->...j', x_flat * x_flat, G)
+    return jnp.einsum('...c,cj->...j', x_flat * x_flat, G,
+                      precision='highest')
 
 
 def _expand3(x: jnp.ndarray, J: int) -> jnp.ndarray:
@@ -64,7 +76,7 @@ def _expand3(x: jnp.ndarray, J: int) -> jnp.ndarray:
     E = jnp.zeros((J, J * 3), x.dtype)
     idx = jnp.arange(J * 3)
     E = E.at[idx // 3, idx].set(1.0)
-    return jnp.einsum('...j,jc->...c', x, E)
+    return jnp.einsum('...j,jc->...c', x, E, precision='highest')
 
 
 def transform_batch_rays(rays_d: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +86,7 @@ def transform_batch_rays(rays_d: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
     (reference core/encoders.py:25-37).
     """
     rot = skts[..., :3, :3]
-    return jnp.einsum('rjab,rsb->rsja', rot, rays_d)
+    return jnp.einsum('rjab,rsb->rsja', rot, rays_d, precision='highest')
 
 
 def _normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:

@@ -28,7 +28,8 @@ def rigid_inverse(mats: jnp.ndarray) -> jnp.ndarray:
     rot = mats[..., :3, :3]
     t = mats[..., :3, 3:]
     rot_t = jnp.swapaxes(rot, -1, -2)
-    top = jnp.concatenate([rot_t, -rot_t @ t], axis=-1)
+    top = jnp.concatenate(
+        [rot_t, -jnp.matmul(rot_t, t, precision='highest')], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=mats.dtype), top.shape[:-2] + (1, 4))
     return jnp.concatenate([top, bottom], axis=-2)
@@ -85,7 +86,8 @@ def fk(bones: jnp.ndarray,
     for level in skel.levels[1:]:
         idx = np.asarray(level)
         pidx = parents[idx]
-        l2w = l2w.at[:, idx].set(l2w[:, pidx] @ rel[:, idx])
+        l2w = l2w.at[:, idx].set(
+            jnp.matmul(l2w[:, pidx], rel[:, idx], precision='highest'))
 
     if pelvis is not None:
         l2w = l2w.at[..., :3, 3].add(pelvis[:, None, :])

@@ -4,9 +4,12 @@ TPU lowers `take_along_axis` to serial row loads ('custom fusion' ops
 with zero FLOPs in the profile) and its VJP to scatters, which are worse.
 For the small per-ray sample counts in this pipeline (S <= ~100), a
 (R, K, S) one-hot contraction is a tiny matmul that runs on the MXU, and
-its VJP is just the transposed matmul — no scatter anywhere. The result
-is EXACT for any float dtype: each output element is one product
-(1.0 * x) and a sum of zeros.
+its VJP is just the transposed matmul — no scatter anywhere. The
+contraction runs at precision='highest': at TPU DEFAULT precision f32
+matmul operands are truncated to a single bf16 pass, which would round
+every gathered f32 value to 8 mantissa bits (z samples, CDF values) —
+with 'highest' the result is f32-faithful (each output element is one
+product 1.0 * x and a sum of zeros).
 
 Measured on the culled flagship step (v5e-1): the gather/scatter family
 cost ~6.5 ms/step before this change (see PERF.md round-2 trace).
@@ -36,6 +39,7 @@ def take_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         else jnp.float32
     oh = (idx[..., None] == jnp.arange(S, dtype=idx.dtype)).astype(acc_dtype)
     out = jnp.einsum('rks,rsc->rkc', oh, d.astype(acc_dtype),
-                     preferred_element_type=acc_dtype)
+                     preferred_element_type=acc_dtype,
+                     precision='highest')
     out = out.astype(data.dtype) if data.dtype != out.dtype else out
     return out[..., 0] if squeeze else out

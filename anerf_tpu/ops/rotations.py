@@ -39,7 +39,7 @@ def axisang_to_rot(axisang: jnp.ndarray) -> jnp.ndarray:
         jnp.stack([-y, x, zero], axis=-1),
     ], axis=-2)  # (..., 3, 3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=axisang.dtype), K.shape)
-    KK = K @ K
+    KK = jnp.matmul(K, K, precision='highest')
     return eye + sin_over[..., None] * K + cos_term[..., None] * KK
 
 

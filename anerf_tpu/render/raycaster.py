@@ -153,7 +153,8 @@ def encode_inputs(cfg: RenderConfig,
         R_ = skts.shape[0]
         rot_cols = skts[..., :3, :3].transpose(0, 3, 1, 2).reshape(
             R_, 3, J * 3)
-        rays_f = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols)  # (R, 1, J*3)
+        rays_f = jnp.einsum('rsb,rbc->rsc', rays_d, rot_cols,
+                            precision='highest')  # (R, 1, J*3)
         dss = _group3_sumsq(rays_f, J)
         d = rays_f * _expand3(jax.lax.rsqrt(jnp.maximum(dss, 1e-24)), J)
         j_dists = v
@@ -246,7 +247,8 @@ def cull_samples(cfg: RenderConfig, z_vals: jnp.ndarray, pts: jnp.ndarray,
     # |p - k|^2 = |p|^2 - 2 p.k + |k|^2 with the cross term as a batched
     # (S, 3) @ (3, J) matmul — keeps J on the lane axis (the direct
     # (R, J, S, 3) difference puts 3-vectors on lanes at 3/128 utilization)
-    pk = jnp.einsum('rsc,rjc->rsj', pts, kps)               # (R, S, J)
+    pk = jnp.einsum('rsc,rjc->rsj', pts, kps,
+                    precision='highest')                    # (R, S, J)
     d2 = (jnp.sum(pts * pts, -1)[..., None]
           - 2.0 * pk + jnp.sum(kps * kps, -1)[:, None])     # (R, S, J)
     cut = cutoff_dist * (1.0 + cfg.cull_margin)

@@ -123,14 +123,37 @@ def decompose(cfg, packed, m_all, aux, rng, R, shapes, reps):
         def kernel(pts_ref, m_ref, aux_ref, tau_ref, *refs):
             w = fr._read_weights(cfg.nerf, refs[:-1])
             out_ref = refs[-1]
+            if stage == 'split2':
+                # full forward as TWO INDEPENDENT half-tiles: if Mosaic
+                # co-schedules the VPU-bound PE of one half against the
+                # MXU-bound MLP of the other, split2 < full at equal rows
+                half_t, half_r = (TR // 2) * S, TR // 2
+                pts, m, aux = pts_ref[:], m_ref[:], aux_ref[:]
+                for h in range(2):
+                    t = fr._transform_tile(
+                        S, half_r, pts[h * half_t:(h + 1) * half_t],
+                        m[h * half_r * 3:(h + 1) * half_r * 3],
+                        aux[h * half_r:(h + 1) * half_r])
+                    out_ref[h * half_t:(h + 1) * half_t] = fr._pe_mlp_body(
+                        cfg.nerf, w, t['v'], t['r'], t['d'], t['fc'],
+                        tau_ref[0, 0], d_ray=t['d_ray'], B=t['B'])
+                return
             t = fr._transform_tile(S, TR, pts_ref, m_ref, aux_ref)
             if stage == 'transform':
                 out_ref[:] = (t['v'][:, :LANE] + t['r'][:, :LANE]
                               + t['d'][:, :LANE])
                 return
-            out, c = fr._forward_trace(cfg.nerf, w, t['v'], t['r'],
-                                       t['d'], t['fc'], tau_ref[0, 0])
-            if stage == 'pe':
+            # 'pe'/'pe_notrig' run the per-POINT view-trig path (the
+            # pre-round-4 design) so trig_ms measures what the per-ray
+            # redesign removes; 'pe_perray'/'full'/'split2' run the
+            # production per-ray path
+            perray = stage in ('pe_perray', 'full', 'split2')
+            out, c = fr._forward_trace(
+                cfg.nerf, w, t['v'], t['r'], t['d'], t['fc'],
+                tau_ref[0, 0],
+                d_ray=t['d_ray'] if perray else None,
+                B=t['B'] if perray else None)
+            if stage in ('pe', 'pe_notrig', 'pe_perray'):
                 # consume every PE band via cheap reductions so Mosaic
                 # cannot dead-code-eliminate the trig (the MLP part of
                 # _forward_trace IS dead here and gets eliminated)
@@ -188,15 +211,149 @@ def decompose(cfg, packed, m_all, aux, rng, R, shapes, reps):
                           * 0.3)
         pts2 = pts + 0.01
         row = {'S': S, 'TR': TR}
-        for stage in ('transform', 'pe', 'full'):
-            fn = make_variant(stage, S, TR)
-            dt = time_call(chain_fwd, fn, pts, pts2, reps=reps)
+        # _SINCOS swaps per stage: 'pe_notrig' = near-free stand-in (the
+        # pe - pe_notrig difference is ALL trig cost), 'pe_libtrig' =
+        # jnp.sin/jnp.cos (pe_libtrig - pe = what _fast_sincos saves);
+        # all other stages run the production _fast_sincos.
+        _SWAPS = {
+            'pe_notrig': lambda x: (x * 0.5 - x * x * 0.124,
+                                    1.0 - x * x * 0.437),
+            'pe_libtrig': lambda x: (jnp.sin(x), jnp.cos(x)),
+        }
+        for stage in ('transform', 'pe', 'pe_notrig', 'pe_libtrig',
+                      'pe_perray', 'full', 'split2'):
+            saved = fr._SINCOS
+            if stage in _SWAPS:
+                fr._SINCOS = _SWAPS[stage]
+            try:
+                fn = make_variant(stage, S, TR)
+                dt = time_call(chain_fwd, fn, pts, pts2, reps=reps)
+            finally:
+                fr._SINCOS = saved
             row[stage + '_ms'] = round(dt * 1000, 3)
         row['pe_only_ms'] = round(row['pe_ms'] - row['transform_ms'], 3)
-        row['mlp_only_ms'] = round(row['full_ms'] - row['pe_ms'], 3)
+        row['trig_ms'] = round(row['pe_ms'] - row['pe_notrig_ms'], 3)
+        row['libtrig_extra_ms'] = round(row['pe_libtrig_ms']
+                                        - row['pe_ms'], 3)
+        row['perray_gain_ms'] = round(row['pe_ms'] - row['pe_perray_ms'], 3)
+        row['mlp_only_ms'] = round(row['full_ms'] - row['pe_perray_ms'], 3)
+        row['overlap_gain_ms'] = round(row['full_ms'] - row['split2_ms'], 3)
         results.append(row)
         print(row, flush=True)
     print(json.dumps({'metric': 'kernel_decompose', 'rows': results}))
+
+
+def decompose_bwd(cfg, packed, m_all, aux, rng, R, shapes, reps,
+                  bwd_f32=True):
+    """Attribute the BACKWARD kernel's in-kernel cost via the kernel's
+    staged early exits (fused_render._render_kernel_pts_bwd stage=):
+    forward recompute / + MLP backward (incl. dW outer products) /
+    + cutoff-PE backward / full (+ transform backward, production)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from anerf_tpu.kernels import fused_render as fr
+    from anerf_tpu.kernels.fused_mlp import LANE, _rup
+
+    names = fr._names(cfg.nerf)
+    SEG = fr.SEG
+
+    def make_staged(stage, S, TR):
+        weight_args = [packed[n] if packed[n].ndim == 2 else
+                       packed[n].reshape(1, -1) for n in names]
+        T = TR * S
+
+        def call(pts, g):
+            R_ = pts.shape[0]
+            R_pad = _rup(R_, TR)
+            pts_p = jnp.pad(pts, ((0, R_pad - R_), (0, 0), (0, 0))
+                            ).reshape(R_pad * S, 3)
+            m_p = jnp.pad(m_all, ((0, (R_pad - R_) * 3), (0, 0)))
+            aux_p = jnp.pad(aux, ((0, R_pad - R_), (0, 0)))
+            g_p = jnp.pad(g.astype(jnp.float32),
+                          ((0, R_pad - R_), (0, 0),
+                           (0, LANE - g.shape[-1]))).reshape(R_pad * S,
+                                                             LANE)
+            tau_arr = jnp.full((1, 1), 2000.0, jnp.float32)
+            in_specs = [
+                pl.BlockSpec((T, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR * 3, SEG), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 3 * SEG), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(arg.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+                 for arg in weight_args]
+            out_shapes = [
+                jax.ShapeDtypeStruct((R_pad * S, 3), jnp.float32),
+                jax.ShapeDtypeStruct((R_pad * 3, SEG), jnp.float32),
+                jax.ShapeDtypeStruct((R_pad, 3 * SEG), jnp.float32),
+            ]
+            out_specs = [
+                pl.BlockSpec((T, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR * 3, SEG), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 3 * SEG), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            kernel = functools.partial(fr._render_kernel_pts_bwd,
+                                       cfg.nerf, S, TR, bwd_f32,
+                                       stage=stage)
+            outs = pl.pallas_call(
+                kernel,
+                grid=(R_pad // TR,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=jax.default_backend() != 'tpu',
+            )(pts_p, m_p, aux_p, tau_arr, g_p, *weight_args)
+            return outs[0].reshape(R_pad, S, 3)[:R_]
+        return call
+
+    results = []
+    for S in shapes:
+        TR = fr._pick_tr(S, 512 if bwd_f32 else 1024)
+        pts = jnp.asarray(rng.normal(size=(R, S, 3)).astype(np.float32)
+                          * 0.3)
+        g = jnp.asarray(rng.normal(size=(R, S, 4)).astype(np.float32))
+        pts2 = pts + 0.01
+        row = {'S': S, 'TR': TR, 'bwd_f32': bwd_f32}
+        for stage in ('recompute', 'mlp', 'pe', 'full'):
+            if stage == 'full':
+                fn = (lambda pp, S=S: fr._fused_bwd_impl(
+                    cfg.nerf, packed, pp, m_all, aux, S,
+                    jnp.float32(2000.0), g, bwd_f32))
+                dt = time_call(chain_bwd, fn, pts, pts2, reps=reps)
+            else:
+                staged = make_staged(stage, S, TR)
+                fn = lambda pp, _s=staged: _s(pp, g)
+
+                def chain_staged(fn_once, n):
+                    def run(pp):
+                        out = fn_once(pp)
+                        for _ in range(n - 1):
+                            out = fn_once(pp + out * 1e-6)
+                        return out
+                    return jax.jit(run)
+                dt = time_call(chain_staged, fn, pts, pts2, reps=reps)
+            row[stage + '_ms'] = round(dt * 1000, 3)
+        row['mlp_bwd_ms'] = round(row['mlp_ms'] - row['recompute_ms'], 3)
+        row['pe_bwd_ms'] = round(row['pe_ms'] - row['mlp_ms'], 3)
+        row['transform_bwd_ms'] = round(row['full_ms'] - row['pe_ms'], 3)
+        results.append(row)
+        print(row, flush=True)
+    print(json.dumps({'metric': 'kernel_decompose_bwd', 'rows': results}))
 
 
 def main():
@@ -209,6 +366,11 @@ def main():
     p.add_argument('--decompose', action='store_true',
                    help='attribute in-kernel forward cost: transform / '
                         'cutoff-PE / MLP stage timings per shape')
+    p.add_argument('--decompose_bwd', action='store_true',
+                   help='attribute in-kernel BACKWARD cost: forward '
+                        'recompute / MLP bwd / PE bwd / transform bwd')
+    p.add_argument('--bwd_bf16', action='store_true',
+                   help='decompose_bwd: time the bf16-cotangent flavor')
     a = p.parse_args()
 
     from anerf_tpu.kernels import fused_render as fr
@@ -217,6 +379,9 @@ def main():
     R = a.rays
     if a.decompose:
         return decompose(cfg, packed, m_all, aux, rng, R, a.shapes, a.reps)
+    if a.decompose_bwd:
+        return decompose_bwd(cfg, packed, m_all, aux, rng, R, a.shapes,
+                             a.reps, bwd_f32=not a.bwd_bf16)
     tau = jnp.float32(2000.0)
     results = []
 
