@@ -788,6 +788,9 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
     # cutoff-PE backward (bf16 band cotangents, f32 reductions). The
     # geometry-bound dots below use the exact hi/lo splits: this is the
     # pose-refinement grad path, and F_*/R_*/G/T3 are exact in bf16.
+    # (A per-ray factorization of the d-band backward — pulling the
+    # constant cos/sin_ray factor out of the B^T ray-sum — measured FLAT
+    # at the step level and was reverted; see PERF.md round 4.)
     dang_v = (dsv * c['cos_v'] - dcv * c['sin_v']) * c['wrep_v']
     dwrep_v = dsv * c['sin_v'] + dcv * c['cos_v']
     dang_d = (dsd * c['cos_d'] - dcd * c['sin_d']) * c['wrep_d']

@@ -208,6 +208,45 @@ def test_torch_segmenter_stub_model_e2e(tmp_path):
             get_segmenter('torchvision')
 
 
+def test_torch_segmenter_multi_person_bbox_isolates_subject():
+    """Multi-person frame through the model-segmenter branch (VERDICT r3
+    #5c): the model marks TWO people; the bbox path (the reference's
+    process_bbox_masks subject-isolation mechanism, core/process_mask.py:
+    131-226) must keep only the in-box person, while full-image
+    inference keeps both."""
+    import torch
+
+    from anerf_tpu.data.process_mask import get_segmenter, process_masks
+
+    H = W = 64
+    img = np.full((H, W, 3), 255, np.uint8)
+    img[10:30, 8:24] = [200, 30, 30]     # subject
+    img[40:60, 44:60] = [30, 30, 200]    # second person
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+
+    class TwoPersonStub:
+        def __call__(self, x):
+            rgb = x[0] * std + mean
+            fg = (rgb - 1.0).abs().max(0).values > 0.1
+            logits = torch.zeros((1, 21) + fg.shape)
+            logits[0, 15][fg] = 10.0
+            return {'out': logits}
+
+    seg = get_segmenter('torchvision', model=TwoPersonStub())
+
+    full, _ = process_masks([img], seg)
+    assert full[0, 10:30, 8:24].sum() > 0
+    assert full[0, 40:60, 44:60].sum() > 0     # both people present
+
+    boxed, sampling = process_masks([img], seg,
+                                    bboxes=np.array([[4, 6, 28, 34]]))
+    assert boxed[0, 10:30, 8:24].sum() > 0     # subject kept
+    assert boxed[0, 40:60, 44:60].sum() == 0   # intruder excluded
+    assert (sampling >= boxed).all()
+
+
 def test_batchloader_prestacked_superbatches(h5_path):
     """BatchLoader(stack=K) emits worker-stacked (K, ...) super-batches
     with the sampler's once-per-epoch coverage preserved."""
