@@ -798,9 +798,24 @@ def main():
         state, step_fn, stacks, rpd = build(fast_grads=True,
                                             cull_ratio=0.125)
         fast_med, fast_best, _ = measure(state, step_fn, stacks, rpd)
+        extras['headline_xla'] = round(fast_med, 1)
         extras['headline_config'] = 'cull_ratio=0.125 fast_grads'
         extras['best'] = round(fast_best, 1)
         headline = fast_med
+        # the fused kernel at cull with F32 cotangents (protocol-grade
+        # numerics) closed to within ~3% of XLA fast_grads in round 4
+        # (PERF.md); measure both and ride the better (VERDICT r3 #1)
+        try:
+            state, step_fn, stacks, rpd = build(fused_kernel=True,
+                                                cull_ratio=0.125)
+            fc_med, fc_best, _ = measure(state, step_fn, stacks, rpd)
+            extras['headline_fused'] = round(fc_med, 1)
+            if fc_med > headline:
+                headline = fc_med
+                extras['headline_config'] = 'cull_ratio=0.125 fused_kernel'
+                extras['best'] = round(fc_best, 1)
+        except Exception as e:
+            extras['headline_fused_error'] = str(e)[:120]
     else:
         headline = default_med
 
