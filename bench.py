@@ -683,33 +683,13 @@ def device_liveness_check(timeout_s: float = 300.0, retries: int = 3,
     Tunnel wedges are often transient, so a failed probe retries a few
     times (~15 min total) before giving up — a round-end bench surviving
     a brief outage beats an honest-but-avoidable zero.
-    Returns None when healthy, else a short error string.
+    Returns None when healthy, else a short error string. (The probe
+    lives in `anerf_tpu.utils.device_lock.wait_until_live` so the
+    measurement tools in tools/ share it.)
     """
-    import subprocess
-    import sys
-    import time as _time
-    err = None
-    for attempt in range(retries):
-        if attempt:
-            _time.sleep(retry_wait_s)
-        try:
-            r = subprocess.run(
-                [sys.executable, '-c',
-                 'import jax, jax.numpy as jnp\n'
-                 'x = jnp.ones((64, 64))\n'
-                 'assert float((x @ x).sum()) == 64.0 * 64 * 64\n'
-                 'print("LIVE", jax.devices()[0].platform)'],
-                capture_output=True, text=True, timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            err = (f'device unreachable: first backend touch hung '
-                   f'>{timeout_s:.0f}s ({attempt + 1}/{retries} probes)')
-            continue
-        if r.returncode != 0 or 'LIVE' not in r.stdout:
-            err = ('device probe failed: '
-                   + (r.stderr or r.stdout).strip().splitlines()[-1][:160])
-            continue
-        return None
-    return err
+    from anerf_tpu.utils.device_lock import wait_until_live
+    return wait_until_live(timeout_s=timeout_s, retries=retries,
+                           retry_wait_s=retry_wait_s)
 
 
 def main():

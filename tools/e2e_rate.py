@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-from anerf_tpu.utils.device_lock import acquire
+from anerf_tpu.utils.device_lock import acquire, wait_until_live
 
 
 def main():
@@ -28,6 +28,9 @@ def main():
     a = p.parse_args()
 
     acquire()
+    err = wait_until_live()
+    if err is not None:
+        sys.exit(f'[e2e_rate] {err}')
     import bench
 
     rate = bench.measure_e2e(

@@ -23,9 +23,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-from anerf_tpu.utils.device_lock import acquire
+from anerf_tpu.utils.device_lock import acquire, wait_until_live
 
 acquire()
+_err = wait_until_live()
+if _err is not None:
+    sys.exit(f'[{__file__}] {_err}')
 
 import jax
 
