@@ -148,6 +148,35 @@ def test_render_rays_fused_matches_xla(rng):
                                atol=3e-2, rtol=3e-2)
 
 
+def test_render_rays_fused_single_net_matches_xla(rng):
+    """single_net fine merge through the FUSED path: only the new
+    importance samples run the kernel (raycaster.py:392-394 — the
+    reference's single-net compute saving, core/raycasters.py:796-812,
+    preserved inside the fused kernel, VERDICT r4 #3)."""
+    import dataclasses
+    from anerf_tpu.render.raycaster import render_rays
+    args, cfg, params, pose = build_tiny(
+        rng, netwidth=256, netdepth=8, multires=7, multires_views=4,
+        compute_dtype='bfloat16', single_net=True)
+    assert params['fine'] is None
+    cfg_f = dataclasses.replace(cfg, use_fused=True)
+    batch = synthetic_batch(rng, pose, n_rays=16, n_images=4)
+    pr = lambda k: batch[k][batch['pose_idx']]
+    key = jax.random.PRNGKey(3)
+    kwargs = dict(ray_batch=batch['rays'], kp_batch=pr('kp3d'),
+                  skts=pr('skts'), bones=pr('bones'), cyls=pr('cyls'),
+                  cam_idxs=batch['cam_idxs'], rng=key,
+                  tau=jnp.float32(35.0))
+    want = render_rays(params, cfg, **kwargs)
+    got = render_rays(params, cfg_f, **kwargs)
+    np.testing.assert_allclose(np.asarray(got['rgb_map']),
+                               np.asarray(want['rgb_map']),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(got['acc_map']),
+                               np.asarray(want['acc_map']),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_fused_render_matches_xla(rng):
     args, cfg, params, pose = flagship_tiny(rng)
     batch = synthetic_batch(rng, pose, n_rays=16, n_images=4)

@@ -33,12 +33,13 @@ def main():
         sys.exit(f'[e2e_rate] {err}')
     import bench
 
-    rate = bench.measure_e2e(
+    rate, prof = bench.measure_e2e(
         steps=a.steps, warm_steps=a.warm_steps, cull_ratio=a.cull,
         fast_grads=not a.no_fast, workers=a.workers, unroll=a.unroll)
     print(json.dumps({
         'metric': 'e2e_inloop_rays_per_sec',
         'value': round(rate, 1),
+        'per_1k_rates': prof,
         'unit': 'rays/s',
         'config': ('cull %.3g %s, workers=%d unroll=%d' % (
             a.cull, 'strict' if a.no_fast else 'fast', a.workers,
