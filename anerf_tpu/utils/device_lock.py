@@ -90,7 +90,7 @@ def acquire(timeout: float | None = None, poll_note_s: float = 30.0) -> bool:
     return True
 
 
-def wait_until_live(timeout_s: float = 90.0, retries: int = 3,
+def wait_until_live(timeout_s: float = 90.0, retries: int | None = None,
                     retry_wait_s: float = 120.0) -> str | None:
     """Probe the chip in a disposable SUBPROCESS with a hard timeout.
 
@@ -108,6 +108,11 @@ def wait_until_live(timeout_s: float = 90.0, retries: int = 3,
     import subprocess
     if os.environ.get('ANERF_DEVICE_LOCK', '1') == '0' or _cpu_only():
         return None
+    if retries is None:
+        # tunnel wedges are transient (observed recovery 2-10 min) but
+        # can outlast the default 3x(90+120)s budget; long unattended
+        # jobs set ANERF_LIVENESS_RETRIES high enough to ride them out
+        retries = int(os.environ.get('ANERF_LIVENESS_RETRIES', 3))
     err = None
     for attempt in range(retries):
         if attempt:
