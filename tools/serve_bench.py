@@ -7,11 +7,11 @@ path both ways on the real chip:
                when concurrent clients queue up)
 Reports per-request latency + speedup.  Usage: python tools/serve_bench.py
 
-Tunnel hygiene (ADVICE r3): the warm pass and the timed pass use DISJOINT
-pose sets (fixture poses 0-7 warm, 8-15 timed) with identical dispatch
-shapes, so no compile lands in the timed region AND the tunnel cannot
-memoize a timed dispatch it already saw during warmup; within the timed
-pass every request is a distinct pose.
+Tunnel hygiene (ADVICE r3): every timed section owns a DISJOINT pose
+slice of a 64-pose fixture (0-7 warm, 8-15 serial/coalesced, 16+16i for
+TCP concurrency row i) with identical dispatch shapes, so no compile
+lands in a timed region AND the tunnel cannot memoize a timed dispatch
+it saw anywhere earlier in the session.
 """
 import argparse
 import json
@@ -35,10 +35,15 @@ if _err is not None:
 p = argparse.ArgumentParser()
 p.add_argument('--n_req', type=int, default=8)
 p.add_argument('--res', type=int, default=128)
-p.add_argument('--tcp_clients', type=int, default=0,
-               help='also measure the TCP front-end: N concurrent client '
-                    'PROCESSES hammering one server, vs 1 client sending '
-                    'the same requests sequentially')
+p.add_argument('--tcp_clients', type=int, nargs='*', default=[],
+               help='also measure the TCP front-end at each given '
+                    'concurrency: N concurrent client PROCESSES hammering '
+                    'one server (e.g. --tcp_clients 1 4 8), with p50/p95 '
+                    'latency + aggregate throughput per row '
+                    '(VERDICT r4 #4); at most 3 rows (pose budget)')
+p.add_argument('--tcp_req', type=int, default=16,
+               help='total requests per TCP concurrency row (max 16: '
+                    'each row owns a disjoint 16-pose slice)')
 cli = p.parse_args()
 
 from anerf_tpu.config import TrainConfig
@@ -46,12 +51,15 @@ from anerf_tpu.data.fixtures import make_synthetic_h5
 from anerf_tpu.data.surreal import SurrealDataset
 from anerf_tpu.train.loop import train
 
-d = os.path.join(tempfile.gettempdir(), 'serve_bench_fixture16')
+d = os.path.join(tempfile.gettempdir(), 'serve_bench_fixture64')
 h5 = os.path.join(d, 'syn_train_h5py.h5')
 os.makedirs(d, exist_ok=True)
 if not os.path.exists(h5):
-    # 16 poses: 8 for the warm pass, 8 disjoint ones for the timed pass
-    make_synthetic_h5(h5, n_kps=16, n_cams=3, H=64, W=64)
+    # 64 poses: 8 warm, 8 serial/coalesced timed, and 16 per TCP
+    # concurrency row (up to 3 rows) — every timed dispatch anywhere in
+    # the session is a DISTINCT pose, because the axon tunnel memoizes
+    # byte-identical dispatches and a reused pose reads artificially fast
+    make_synthetic_h5(h5, n_kps=64, n_cams=3, H=64, W=64)
 
 args = TrainConfig(
     expname='srv', basedir=d, dataset_type=('h5',), subject=(h5,),
@@ -94,7 +102,9 @@ r_args = argparse.Namespace(
     no_save=True)
 
 sess = rr.RenderSession(r_args)
-assert cli.n_req <= 8, 'fixture has 8 warm + 8 timed distinct poses'
+assert cli.n_req <= 8, 'serial/coalesced section owns poses 0-15 only'
+assert cli.tcp_req <= 16 and len(cli.tcp_clients) <= 3, \
+    'TCP rows own disjoint 16-pose slices of the 64-pose fixture'
 
 
 def make_preps(pose_base: int, tag: str):
@@ -174,24 +184,25 @@ if cli.tcp_clients:
 
     CLIENT = (
         "import json,socket,sys,time\n"
-        "port,base,n=int(sys.argv[1]),int(sys.argv[2]),int(sys.argv[3])\n"
+        "port,rb,base,n=(int(a) for a in sys.argv[1:5])\n"
         "s=socket.create_connection(('127.0.0.1',port),timeout=600)\n"
         "f=s.makefile('r')\n"
         "lats=[]\n"
         "for j in range(n):\n"
         "    t0=time.perf_counter()\n"
         "    s.sendall((json.dumps({'render_type':'bullet',"
-        "'selected_idxs':[(base+j)%8+8],'runname':'tcp%d_%d'%(base,j),"
+        "'selected_idxs':[rb+(base+j)%16],'runname':'tcp%d_%d'%(base,j),"
         "'no_save':True})+'\\n').encode())\n"
         "    r=json.loads(f.readline())\n"
         "    assert r['ok'],r\n"
         "    lats.append(time.perf_counter()-t0)\n"
         "print(json.dumps(lats))\n")
 
-    def run_clients(n_clients, per_client):
+    def run_clients(n_clients, per_client, row_base):
         procs = [subprocess.Popen(
-            [sys.executable, '-c', CLIENT, str(port), str(i * per_client),
-             str(per_client)], stdout=subprocess.PIPE, text=True)
+            [sys.executable, '-c', CLIENT, str(port), str(row_base),
+             str(i * per_client), str(per_client)],
+            stdout=subprocess.PIPE, text=True)
             for i in range(n_clients)]
         t0 = time.perf_counter()
         lats = []
@@ -218,19 +229,35 @@ if cli.tcp_clients:
     for _ in range(4):
         json.loads(wf.readline())
 
-    seq_wall, seq_lats = run_clients(1, cli.n_req)
-    con_wall, con_lats = run_clients(cli.tcp_clients,
-                                     cli.n_req // cli.tcp_clients)
+    def pct(xs, q):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(round(q / 100 * (len(xs) - 1))))]
+
+    tcp_rows = []
+    for row_i, n_clients in enumerate(cli.tcp_clients):
+        # each concurrency row owns a disjoint 16-pose slice so no timed
+        # dispatch can hit the tunnel's memoization of an earlier row
+        wall, lats = run_clients(n_clients, cli.tcp_req // n_clients,
+                                 row_base=16 + 16 * row_i)
+        n_done = n_clients * (cli.tcp_req // n_clients)
+        tcp_rows.append({
+            'clients': n_clients, 'n_requests': n_done,
+            'req_per_s': round(n_done / wall, 3),
+            'mean_latency_s': round(sum(lats) / len(lats), 3),
+            'p50_latency_s': round(pct(lats, 50), 3),
+            'p95_latency_s': round(pct(lats, 95), 3),
+        })
+        print(tcp_rows[-1], flush=True)
     ws.sendall(b'{"cmd": "quit"}\n')
+    base = tcp_rows[0] if tcp_rows else None
     result['tcp'] = {
-        'n_requests': cli.n_req, 'clients': cli.tcp_clients,
-        'sequential_req_per_s': round(cli.n_req / seq_wall, 3),
-        'concurrent_req_per_s': round(cli.n_req / con_wall, 3),
-        'sequential_mean_latency_s': round(
-            sum(seq_lats) / len(seq_lats), 3),
-        'concurrent_mean_latency_s': round(
-            sum(con_lats) / len(con_lats), 3),
-        'throughput_gain': round(seq_wall / con_wall, 2),
+        'req_per_row': cli.tcp_req,
+        'rows': tcp_rows,
+        # aggregate-throughput gain of the most concurrent row over the
+        # 1-client (sequential) row — the coalescing verdict in one number
+        'throughput_gain': (round(tcp_rows[-1]['req_per_s']
+                                  / base['req_per_s'], 2)
+                            if base and len(tcp_rows) > 1 else None),
     }
 
 print(json.dumps(result))
