@@ -59,6 +59,14 @@ def config_parser():
                         'stdin (0 = ephemeral; the bound port is in the '
                         'ready line). Same protocol, multiple concurrent '
                         'client connections, replies routed per connection.')
+    p.add_argument('--coalesce', action='store_true',
+                   help='with --server: batch same-resolution queued '
+                        'requests into one dispatch. Off by default — '
+                        'group size varies with drain timing, so every '
+                        'new size recompiles; measured 5x aggregate-'
+                        'throughput loss at 4-8 concurrent TCP clients '
+                        'vs shape-stable per-request dispatches '
+                        '(PERF.md round 5)')
     p.add_argument('--host', type=str, default='127.0.0.1',
                    help='with --server --port: bind address')
     return p
@@ -345,9 +353,10 @@ def _process_batch(sess, base_args, lines):
     """Parse + render one coalesced batch of request lines against a live
     RenderSession. Returns (replies, quitting): one reply dict per
     non-blank line, in request order (requests drained after a quit are
-    dropped). Compatible requests (same resolution, non-mesh) share ONE
-    render_path dispatch — the coalescing core both the stdio and the TCP
-    front-ends run."""
+    dropped). With base_args.coalesce, compatible requests (same
+    resolution, non-mesh) share ONE render_path dispatch; by default each
+    request gets its own shape-stable dispatch. Both the stdio and the
+    TCP front-ends run this core."""
     import argparse
     import json
     import time
@@ -382,8 +391,15 @@ def _process_batch(sess, base_args, lines):
             slots.append(('res', {'ok': False,
                                   'error': f'{type(e).__name__}: {e}'}))
 
-    # prepare renderable requests, grouping compatible ones (same
-    # resolution, non-mesh) for a single coalesced dispatch
+    # prepare renderable requests; with --coalesce, group compatible ones
+    # (same resolution, non-mesh) into a single dispatch. Default is one
+    # dispatch per request: coalesced group SIZE depends on drain timing,
+    # so under concurrent clients every new size is a fresh compile —
+    # measured 5x aggregate-throughput loss at 4-8 TCP clients vs
+    # shape-stable per-request dispatches (PERF.md round 5; the
+    # controlled same-shape comparison already had coalescing 17% slower,
+    # round 3).
+    coalesce = getattr(base_args, 'coalesce', False)
     preps, groups = {}, {}
     for i, (kind, val) in enumerate(slots):
         if kind != 'args':
@@ -396,20 +412,24 @@ def _process_batch(sess, base_args, lines):
             continue
         preps[i] = prep
         if prep['rtype'] != 'mesh':
-            groups.setdefault((prep['H'], prep['W']), []).append(i)
+            key = (prep['H'], prep['W']) if coalesce else ('solo', i)
+            groups.setdefault(key, []).append(i)
 
     t_batch = time.perf_counter()
-    outs = {}
+    outs, group_size, render_s = {}, {}, {}
     for idxs in groups.values():
         try:
+            t_g = time.perf_counter()
             for i, o in zip(idxs, sess.render_prepared(
                     [preps[i] for i in idxs])):
                 outs[i] = o
+                group_size[i] = len(idxs)
+            for i in idxs:
+                render_s[i] = time.perf_counter() - t_g
         except Exception as e:
             for i in idxs:
                 slots[i] = ('res', {'ok': False,
                                     'error': f'{type(e).__name__}: {e}'})
-    n_batched = len(outs)
 
     replies = []
     for i, (kind, val) in enumerate(slots):
@@ -431,8 +451,10 @@ def _process_batch(sess, base_args, lines):
                                           base_args.dataset,
                                           r_args.runname),
                    'seconds': round(time.perf_counter() - t0, 3)}
-            if n_batched > 1 and i in outs:
-                res['batched'] = n_batched
+            if i in render_s:   # device render time of this request's
+                res['render_seconds'] = round(render_s[i], 3)  # dispatch
+            if group_size.get(i, 1) > 1:
+                res['batched'] = group_size[i]
                 res['batch_seconds'] = round(
                     time.perf_counter() - t_batch, 3)
             if out is not None and 'rgbs' in out:
@@ -494,9 +516,9 @@ def serve(args, stdin=None, stdout=None):
         if not line:
             break
         lines = [line]
-        # drain whatever is already queued: concurrent clients' requests
-        # coalesce into one render_path dispatch (shared pose-table upload
-        # + one round of dispatch latency for the whole batch)
+        # drain whatever is already queued (quit handling + reply
+        # pipelining; with --coalesce the drained batch also shares one
+        # render_path dispatch)
         while len(lines) < MAX_BATCH and has_pending(stdin):
             nxt = stdin.readline()
             if not nxt:
@@ -509,14 +531,15 @@ def serve(args, stdin=None, stdout=None):
 
 
 def serve_tcp(args, host='127.0.0.1', port=0, stdout=None):
-    """TCP front-end over the same coalescing core as serve().
+    """TCP front-end over the same request-batch core as serve().
 
     Listens on host:port (port 0 = ephemeral; the bound port is printed in
     the ready line). Each client connection speaks the stdio protocol —
     newline-delimited JSON requests, one JSON reply line per request, in
     order, routed back to the requesting connection. Requests arriving
-    concurrently from different connections drain into ONE coalesced
-    dispatch exactly like queued stdin lines. {"cmd": "quit"} from any
+    concurrently from different connections drain into one processing
+    batch like queued stdin lines (one shape-stable dispatch per request
+    by default; --coalesce shares a dispatch). {"cmd": "quit"} from any
     client stops the server (it is an operator surface, not a public one);
     a disconnecting client only closes its own connection.
 

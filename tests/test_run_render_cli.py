@@ -227,9 +227,9 @@ def test_render_server_mode(trained, monkeypatch):
 
 
 def test_render_server_batches_queued_requests(trained, monkeypatch):
-    """Requests queued together coalesce into ONE render_path dispatch
-    (same resolution), and the batched outputs are bit-identical to the
-    same requests served one at a time."""
+    """With --coalesce, requests queued together share ONE render_path
+    dispatch (same resolution), and the batched outputs are bit-identical
+    to the same requests served one at a time."""
     import io
     import json
 
@@ -237,7 +237,8 @@ def test_render_server_batches_queued_requests(trained, monkeypatch):
 
     tmp, h5, ctx = trained
     rr = _patch_catalog(monkeypatch, h5)
-    args = _render_args(tmp, render_type='val', runname='srvb0')
+    args = _render_args(tmp, render_type='val', runname='srvb0',
+                        coalesce=True)
 
     calls = []
     orig_rp = None
@@ -277,6 +278,43 @@ def test_render_server_batches_queued_requests(trained, monkeypatch):
     b = imageio.imread(os.path.join(str(tmp), 'render_out', 'surreal',
                                     'srvs1', 'image', '00000.png'))
     np.testing.assert_array_equal(a, b)
+
+
+def test_render_server_default_per_request_dispatch(trained, monkeypatch):
+    """Without --coalesce (the default), queued requests each get their
+    own shape-stable dispatch and replies carry no 'batched' field —
+    variable coalesced group sizes recompile under concurrent clients
+    (PERF.md round 5)."""
+    import io
+    import json
+
+    tmp, h5, ctx = trained
+    rr = _patch_catalog(monkeypatch, h5)
+    args = _render_args(tmp, render_type='val', runname='srvnc0')
+
+    calls = []
+    from anerf_tpu.render import render_path as rp_mod
+    orig_rp = rp_mod.render_path
+
+    def spy(params, cfg, c2ws, *a, **kw):
+        calls.append(len(c2ws))
+        return orig_rp(params, cfg, c2ws, *a, **kw)
+
+    monkeypatch.setattr(rp_mod, 'render_path', spy)
+
+    reqs = [
+        {'render_type': 'val', 'selected_idxs': [0], 'runname': 'srvnc1'},
+        {'render_type': 'val', 'selected_idxs': [1], 'runname': 'srvnc2'},
+        {'cmd': 'quit'},
+    ]
+    stdin = io.StringIO('\n'.join(json.dumps(r) for r in reqs) + '\n')
+    stdout = io.StringIO()
+    rr.serve(args, stdin=stdin, stdout=stdout)
+    lines = [json.loads(ln) for ln in stdout.getvalue().splitlines()]
+    ready, r1, r2, bye = lines
+    assert r1['ok'] and r2['ok'] and bye.get('bye')
+    assert 'batched' not in r1 and 'batched' not in r2
+    assert calls == [1, 1], calls
 
 
 def test_render_server_eof_shuts_down(trained, monkeypatch):

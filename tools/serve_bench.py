@@ -44,6 +44,10 @@ p.add_argument('--tcp_clients', type=int, nargs='*', default=[],
 p.add_argument('--tcp_req', type=int, default=16,
                help='total requests per TCP concurrency row (max 16: '
                     'each row owns a disjoint 16-pose slice)')
+p.add_argument('--fixture_seed', type=int, default=0,
+               help='fixture RNG seed; bump on RE-runs in the same tunnel '
+                    'session so no dispatch is byte-identical to an '
+                    'earlier run (fresh data -> fresh trained weights)')
 cli = p.parse_args()
 
 from anerf_tpu.config import TrainConfig
@@ -51,7 +55,8 @@ from anerf_tpu.data.fixtures import make_synthetic_h5
 from anerf_tpu.data.surreal import SurrealDataset
 from anerf_tpu.train.loop import train
 
-d = os.path.join(tempfile.gettempdir(), 'serve_bench_fixture64')
+d = os.path.join(tempfile.gettempdir(),
+                 f'serve_bench_fixture64_s{cli.fixture_seed}')
 h5 = os.path.join(d, 'syn_train_h5py.h5')
 os.makedirs(d, exist_ok=True)
 if not os.path.exists(h5):
@@ -59,7 +64,8 @@ if not os.path.exists(h5):
     # concurrency row (up to 3 rows) — every timed dispatch anywhere in
     # the session is a DISTINCT pose, because the axon tunnel memoizes
     # byte-identical dispatches and a reused pose reads artificially fast
-    make_synthetic_h5(h5, n_kps=64, n_cams=3, H=64, W=64)
+    make_synthetic_h5(h5, n_kps=64, n_cams=3, H=64, W=64,
+                      seed=cli.fixture_seed)
 
 args = TrainConfig(
     expname='srv', basedir=d, dataset_type=('h5',), subject=(h5,),
@@ -195,7 +201,8 @@ if cli.tcp_clients:
         "'no_save':True})+'\\n').encode())\n"
         "    r=json.loads(f.readline())\n"
         "    assert r['ok'],r\n"
-        "    lats.append(time.perf_counter()-t0)\n"
+        "    lats.append([time.perf_counter()-t0,"
+        "r.get('render_seconds',-1.0)])\n"
         "print(json.dumps(lats))\n")
 
     def run_clients(n_clients, per_client, row_base):
@@ -205,12 +212,14 @@ if cli.tcp_clients:
             stdout=subprocess.PIPE, text=True)
             for i in range(n_clients)]
         t0 = time.perf_counter()
-        lats = []
+        lats, srv = [], []
         for pr in procs:
             out, _ = pr.communicate(timeout=1200)
             assert pr.returncode == 0
-            lats += json.loads(out)
-        return time.perf_counter() - t0, lats
+            for client_lat, server_s in json.loads(out):
+                lats.append(client_lat)
+                srv.append(server_s)
+        return time.perf_counter() - t0, lats, srv
 
     # warmup (compile both shapes) on the warm pose set
     import socket as _socket
@@ -237,8 +246,8 @@ if cli.tcp_clients:
     for row_i, n_clients in enumerate(cli.tcp_clients):
         # each concurrency row owns a disjoint 16-pose slice so no timed
         # dispatch can hit the tunnel's memoization of an earlier row
-        wall, lats = run_clients(n_clients, cli.tcp_req // n_clients,
-                                 row_base=16 + 16 * row_i)
+        wall, lats, srv = run_clients(n_clients, cli.tcp_req // n_clients,
+                                      row_base=16 + 16 * row_i)
         n_done = n_clients * (cli.tcp_req // n_clients)
         tcp_rows.append({
             'clients': n_clients, 'n_requests': n_done,
@@ -246,6 +255,12 @@ if cli.tcp_clients:
             'mean_latency_s': round(sum(lats) / len(lats), 3),
             'p50_latency_s': round(pct(lats, 50), 3),
             'p95_latency_s': round(pct(lats, 95), 3),
+            # device dispatch time per request, measured server-side —
+            # separates device service from host/client queueing (the
+            # bench host has 1 CPU core: concurrent client PROCESSES
+            # time-slice it, so client-visible latency under concurrency
+            # is mostly host scheduling, not the server or the chip)
+            'mean_server_render_s': round(sum(srv) / len(srv), 3),
         })
         print(tcp_rows[-1], flush=True)
     ws.sendall(b'{"cmd": "quit"}\n')
