@@ -572,7 +572,17 @@ def _pick_tr(S: int, max_t: int = 1024) -> int:
 #: not listed fall back to the pre-sweep defaults (fwd 1024; bwd 512
 #: f32-cotangent / 1024 bf16) — small S (deep culling) needs LARGER ray
 #: tiles to amortize the per-ray transform/VPU work (VERDICT r3 weak #4).
-_TILE_BUDGETS: Dict[int, Dict[str, int]] = {}
+#: Round-5 small-P sweep (artifacts/kernel_tiles_r5.json, v5e, R=2048,
+#: reps=8): max_t=512 is optimal for EVERY flavor at both cull-0.125
+#: shapes — S=8: fwd 0.352/0.362/0.362 ms (256/512/1024, noise band),
+#: bwd_f32 0.841 @512 (vs 1.007/1.123), bwd_bf16 0.928 @512 (vs 1.119
+#: @1024 default, -17%); S=24: fwd 1.045 @512 (vs 1.076 @1024),
+#: bwd_f32 2.769 @512 (vs 3.051-3.434), bwd_bf16 2.696 @512 (vs 3.143
+#: @1024 default, -14%). 4096 compiles fail (scratch VMEM) at S=24 bwd.
+_TILE_BUDGETS: Dict[int, Dict[str, int]] = {
+    8: {'fwd': 512, 'bwd_f32': 512, 'bwd_bf16': 512},
+    24: {'fwd': 512, 'bwd_f32': 512, 'bwd_bf16': 512},
+}
 
 
 def _tile_budget(S: int, flavor: str, default: int) -> int:
