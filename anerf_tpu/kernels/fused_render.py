@@ -185,8 +185,12 @@ def _freq_matrices(n_freq_kp: int, n_freq_view: int):
     # band widths padded to lane multiples so every matmul output and
     # elementwise op stays 128-aligned (pad columns are all-zero, and the
     # matching pad weight rows are zero, so they contribute nothing)
-    NKv = _rup(n_freq_kp * N_JOINTS)
-    NKd = _rup(n_freq_view * 72)
+    # zero bands (e.g. multires_views=0 in the reference's
+    # surreal_single.txt) keep ONE all-zero LANE block: 0-width operands
+    # are illegal in Mosaic tiling, and the zero F/R/weight blocks
+    # contribute nothing to the accumulators
+    NKv = _rup(n_freq_kp * N_JOINTS) or LANE
+    NKd = _rup(n_freq_view * 72) or LANE
     F_v = np.zeros((SEG, NKv), np.float32)
     R_v = np.zeros((SEG, NKv), np.float32)
     for k in range(n_freq_kp):
@@ -226,10 +230,13 @@ def _row_split_kp(w: jnp.ndarray, n_freq: int):
     bone = w[N_JOINTS * (1 + 2 * n_freq):
              N_JOINTS * (1 + 2 * n_freq) + 72]
     pad = lambda m, rows: jnp.pad(m, ((0, rows - m.shape[0]), (0, 0)))
-    sin = jnp.concatenate(sin_rows, 0)
-    cos = jnp.concatenate(cos_rows, 0)
-    return (pad(raw, SEG), pad(sin, _rup(sin.shape[0])),
-            pad(cos, _rup(cos.shape[0])), pad(bone, SEG))
+    empty = jnp.zeros((0, W), w.dtype)
+    sin = jnp.concatenate(sin_rows, 0) if sin_rows else empty
+    cos = jnp.concatenate(cos_rows, 0) if cos_rows else empty
+    # zero-band nets pad to one LANE block of zero rows (matches the
+    # aux builder's NKv floor; 0-row operands break Mosaic tiling)
+    return (pad(raw, SEG), pad(sin, _rup(sin.shape[0]) or LANE),
+            pad(cos, _rup(cos.shape[0]) or LANE), pad(bone, SEG))
 
 
 def _row_split_view(w: jnp.ndarray, n_freq: int, fc_ch: int):
@@ -242,10 +249,13 @@ def _row_split_view(w: jnp.ndarray, n_freq: int, fc_ch: int):
     base = 72 * (1 + 2 * n_freq)
     fc = w[base: base + fc_ch] if fc_ch else jnp.zeros((0, w.shape[1]))
     pad = lambda m, rows: jnp.pad(m, ((0, rows - m.shape[0]), (0, 0)))
-    sin = jnp.concatenate(sin_rows, 0)
-    cos = jnp.concatenate(cos_rows, 0)
-    return (pad(raw, SEG), pad(sin, _rup(sin.shape[0])),
-            pad(cos, _rup(cos.shape[0])), pad(fc, SEG))
+    empty = jnp.zeros((0, w.shape[1]), w.dtype)
+    sin = jnp.concatenate(sin_rows, 0) if sin_rows else empty
+    cos = jnp.concatenate(cos_rows, 0) if cos_rows else empty
+    # multires_views=0 (surreal_single.txt) pads to one LANE block of
+    # zero rows, matching the aux builder's NKd floor
+    return (pad(raw, SEG), pad(sin, _rup(sin.shape[0]) or LANE),
+            pad(cos, _rup(cos.shape[0]) or LANE), pad(fc, SEG))
 
 
 def pack_render_params(params: Dict[str, Any], ncfg: NeRFConfig,

@@ -148,15 +148,19 @@ def test_render_rays_fused_matches_xla(rng):
                                atol=3e-2, rtol=3e-2)
 
 
-def test_render_rays_fused_single_net_matches_xla(rng):
+@pytest.mark.parametrize('mv', [4, 0])
+def test_render_rays_fused_single_net_matches_xla(rng, mv):
     """single_net fine merge through the FUSED path: only the new
     importance samples run the kernel (raycaster.py:392-394 — the
     reference's single-net compute saving, core/raycasters.py:796-812,
-    preserved inside the fused kernel, VERDICT r4 #3)."""
+    preserved inside the fused kernel, VERDICT r4 #3). mv=0 is the
+    reference's own surreal_single.txt setting (multires_views 0): zero
+    view bands must pack to a LANE-padded zero block, not an empty
+    concat (round-5 fix)."""
     import dataclasses
     from anerf_tpu.render.raycaster import render_rays
     args, cfg, params, pose = build_tiny(
-        rng, netwidth=256, netdepth=8, multires=7, multires_views=4,
+        rng, netwidth=256, netdepth=8, multires=7, multires_views=mv,
         compute_dtype='bfloat16', single_net=True)
     assert params['fine'] is None
     cfg_f = dataclasses.replace(cfg, use_fused=True)
