@@ -263,6 +263,14 @@ def make_train_step(args: TrainConfig,
             flat_params, _ = ravel_pytree(state.pose_params)
             acc = state.pose_grad_acc + flat_grads
             do_step = (state.step % args.opt_pose_step) == 0
+            if args.opt_pose_warmup:
+                # poses frozen until the field has formed
+                # (reference: core/pose_opt.py:631 — optimize only at
+                # i >= opt_pose_warmup; warmup grads are DROPPED, not
+                # accumulated, matching "not optimized at all")
+                warm_done = state.step >= args.opt_pose_warmup
+                do_step = jnp.logical_and(do_step, warm_done)
+                acc = jnp.where(warm_done, acc, jnp.zeros_like(acc))
             p_updates, p_opt_state = pose_optimizer.update(
                 acc, state.pose_opt_state, flat_params)
             mask = do_step.astype(flat_params.dtype)

@@ -473,13 +473,24 @@ AB_VARIANTS = {
     'refine': lambda cull: dict(_POSE_RECIPE),
     'refine_culled': lambda cull: dict(cull_ratio=cull, fast_grads=True,
                                        **_POSE_RECIPE),
+    # warmup diagnostics (round 5): on hard fixture styles
+    # (limbs/clutter) the 4000-step refine recipe collapses to the
+    # zero-density background solution; freezing poses for the first
+    # 1000 steps lets the field form first (opt_pose_warmup — the
+    # reference's own flag, core/pose_opt.py:631)
+    'refine_warm': lambda cull: dict(opt_pose_warmup=1000, **_POSE_RECIPE),
+    'refine_culled_warm': lambda cull: dict(
+        cull_ratio=cull, fast_grads=True, opt_pose_warmup=1000,
+        **_POSE_RECIPE),
 }
 #: which variant a variant's PSNR delta pairs against (default 'control');
 #: refine_culled pairs against refine so the delta isolates culling's
 #: effect on pose gradients, not the cost of noisy poses.
-AB_CONTROL = {'refine_culled': 'refine'}
+AB_CONTROL = {'refine_culled': 'refine',
+              'refine_culled_warm': 'refine_warm'}
 #: variants trained on the perturbed-pose fixture copy
-AB_PERTURBED = frozenset({'refine', 'refine_culled'})
+AB_PERTURBED = frozenset({'refine', 'refine_culled',
+                          'refine_warm', 'refine_culled_warm'})
 
 
 def _variant_sig(over: dict) -> str:

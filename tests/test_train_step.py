@@ -91,6 +91,38 @@ def test_train_step_pose_opt(rng):
     np.testing.assert_array_equal(p5[untouched], pelvis0[untouched])
 
 
+def test_train_step_pose_warmup(rng):
+    """opt_pose_warmup freezes poses (and drops their grads — reference
+    semantics, core/pose_opt.py:631: not optimized at all during warmup)
+    until step >= warmup, then the normal interval mask resumes."""
+    args, cfg, params, pose = build_tiny(
+        rng, opt_pose=True, opt_pose_step=2, opt_pose_warmup=4,
+        opt_pose_lrate=1e-3, opt_rot6d=False)
+    pose_cfg = PoseOptConfig(use_rot6d=False)
+    state, opt, popt = make_state(args, params, pose, pose_cfg)
+    rest = jnp.asarray(pose['rest_pose'])
+    step_fn = make_train_step(args, cfg, pose_cfg, rest, opt, popt,
+                              donate=False)
+    batch = synthetic_batch(rng, pose)
+    key = jax.random.PRNGKey(1)
+
+    p0 = np.asarray(state.pose_params['pelvis']).copy()
+    states = [state]
+    for i in range(7):
+        state, _ = step_fn(state, batch, jax.random.fold_in(key, i))
+        states.append(state)
+    # steps 0-3 are warmup: pose params must not move even on the
+    # opt_pose_step interval (steps 0 and 2), and no grads accumulate
+    for k in range(1, 5):
+        np.testing.assert_array_equal(
+            np.asarray(states[k].pose_params['pelvis']), p0)
+        assert float(np.abs(np.asarray(
+            states[k].pose_grad_acc)).max()) == 0.0
+    # step 4 is the first post-warmup interval hit: poses move
+    assert not np.allclose(
+        np.asarray(states[5].pose_params['pelvis']), p0)
+
+
 def test_train_step_pose_frozen(rng):
     args, cfg, params, pose = build_tiny(rng, opt_pose=True, opt_pose_step=1)
     pose_cfg = PoseOptConfig()

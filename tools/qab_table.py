@@ -13,7 +13,8 @@ import sys
 from collections import defaultdict
 
 PAIRING = {'culled': 'control', 'refine': 'control',
-           'refine_culled': 'refine', 'fast': 'control',
+           'refine_culled': 'refine', 'refine_warm': 'control',
+           'refine_culled_warm': 'refine_warm', 'fast': 'control',
            'sr': 'control', 'sr_culled': 'control', 'fastv2': 'control'}
 
 
