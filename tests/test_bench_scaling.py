@@ -23,18 +23,26 @@ def test_scaling_table_train_and_render(tmp_path, capsys):
     table = json.loads(out.read_text())
     assert table['platform'] == 'cpu-virtual'
     assert table['sizes'] == [1, 2]
-    for part in ('train', 'render'):
-        rows = table[part]
-        assert [r['devices'] for r in rows] == [1, 2]
-        assert all(r['rays_per_sec'] > 0 for r in rows)
-        assert rows[0]['eff'] == 1.0
-        # virtual-mesh honesty fields (shared host cores)
-        assert all('total_vs_single' in r for r in rows)
+    train = table['train']
+    assert [r['devices'] for r in train] == [1, 2]
+    assert all(r['rays_per_sec'] > 0 for r in train)
+    assert train[0]['eff'] == 1.0
+    assert all('total_vs_single' in r for r in train)
+    # virtual-mesh render rows are core-capped: they must emit ONLY the
+    # sharding-correctness signal, no perf-shaped fields a reader could
+    # quote as TPU scaling data (VERDICT r4 weak #5)
+    render = table['render']
+    assert [r['devices'] for r in render] == [1, 2]
+    for r in render:
+        assert r['correctness_only'] is True
+        assert r['total_vs_single'] > 0
+        assert set(r) == {'devices', 'total_vs_single',
+                          'correctness_only'}
     assert 'note' in table
 
-    # the printed one-line JSON carries both efficiencies
+    # the printed one-line JSON: train eff + render sharding signal
     last = [l for l in capsys.readouterr().out.splitlines()
             if l.startswith('{')][-1]
     j = json.loads(last)
     assert j['metric'] == 'weak_scaling_eff'
-    assert 'render_eff' in j
+    assert 'render_total_vs_single' in j
