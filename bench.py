@@ -47,7 +47,7 @@ REFERENCE_TRAIN_RAYS_PER_SEC = REFERENCE_BAND_RAYS_PER_SEC[1]
 
 
 def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False,
-          **cfg_over):
+          unroll=None, **cfg_over):
     from __graft_entry__ import _batch, _flagship
     from anerf_tpu.pose.pose_opt import (PoseOptConfig, init_pose_params,
                                          pose_anchor_tree)
@@ -59,7 +59,8 @@ def build(fast_grads=False, cull_ratio=0.0, fused_kernel=False,
 
     n_rays = 2048    # SURREAL recipe N_rand
     n_images = 128   # SURREAL recipe N_sample_images
-    unroll = 20      # train steps fused per dispatch (amortizes host
+    if unroll is None:
+        unroll = 20  # train steps fused per dispatch (amortizes host
                      # latency; 10->115.7k, 20->120.1k, 40->121.7k rays/s
                      # on the culled fast config — 20 is near-asymptote at
                      # half the compile time)
