@@ -799,14 +799,16 @@ def main():
     if a.n_devices:
         return scaling_table(a.n_devices, out_json=a.scaling_json)
 
-    # Headline = deepest cull whose quality measured equal to the
-    # protocol default within the noise band on ALL THREE fixture
-    # families across seeds (PERF.md round-3 sweep: strided in-window
-    # selection, cull 0.125 + fast_grads — budget < in-window count
-    # concentrates every trained sample on the body; pose refinement
-    # re-checked at this depth). The reference-protocol default (all
-    # samples, f32 cotangents) is reported as 'protocol_default'.
-    # `--quality_ab` regenerates the cull-vs-nocull quality evidence.
+    # Headline = deepest cull whose quality measured equal-or-better
+    # than the protocol default on all four fixture families across
+    # seeds (round-5 no-flags 48-cell A/B: culled-control +1.98 dB
+    # median, n=12, no style regresses; refine_culled==refine —
+    # artifacts/quality_ab_round5.jsonl, PERF.md round-5 quality
+    # section). Cull 0.125, strided in-window selection: budget <
+    # in-window count concentrates every trained sample on the body.
+    # The reference-protocol default (all samples, f32 cotangents) is
+    # reported as 'protocol_default'. `--quality_ab` regenerates the
+    # evidence.
     extras = {}
     state, step_fn, stacks, rpd = build(fast_grads=False)
     default_med, default_best, rates, _ = measure(state, step_fn, stacks,
