@@ -43,3 +43,31 @@ def take_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
                      precision='highest')
     out = out.astype(data.dtype) if data.dtype != out.dtype else out
     return out[..., 0] if squeeze else out
+
+
+def scatter_rows(data: jnp.ndarray, ranks: jnp.ndarray) -> jnp.ndarray:
+    """Permutation scatter over rows as a one-hot matmul:
+    out[r, ranks[r, s], ...] = data[r, s, ...].
+
+    The inverse of take_rows for a permutation (take_rows(x, sort_idxs)
+    == scatter_rows(x, ranks) when ranks is the inverse permutation of
+    sort_idxs). ranks must be a per-row permutation of arange(S) — e.g.
+    from `sampling.stable_ranks`. Same MXU one-hot contraction and
+    numerics as take_rows (precision='highest', transposed-matmul VJP,
+    no scatter op anywhere).
+    """
+    S = data.shape[1]
+    squeeze = data.ndim == 2
+    d = data[..., None] if squeeze else data
+    int_in = jnp.issubdtype(d.dtype, jnp.integer)
+    if int_in:
+        d = d.astype(jnp.float32)
+    acc_dtype = d.dtype if d.dtype in (jnp.float32, jnp.bfloat16) \
+        else jnp.float32
+    oh = (ranks[..., None] == jnp.arange(S, dtype=ranks.dtype)
+          ).astype(acc_dtype)
+    out = jnp.einsum('rsp,rsc->rpc', oh, d.astype(acc_dtype),
+                     preferred_element_type=acc_dtype,
+                     precision='highest')
+    out = out.astype(data.dtype) if data.dtype != out.dtype else out
+    return out[..., 0] if squeeze else out

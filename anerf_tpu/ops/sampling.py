@@ -91,6 +91,25 @@ def sample_pdf(key: Optional[jax.Array], bins: jnp.ndarray,
     return bins_below + t * (bins_above - bins_below)
 
 
+def stable_ranks(z: jnp.ndarray) -> jnp.ndarray:
+    """Per-row stable sort ranks without a sort: rank[r, k] = position of
+    z[r, k] in the stably-sorted row (ties broken by original index,
+    matching jnp.argsort's stability).
+
+    Computed as a dense pairwise compare-and-count — for the per-ray
+    sample widths here (S+I <= ~150) that is a few M lane-parallel VPU
+    ops, far cheaper than the bitonic sort network argsort lowers to on
+    TPU, and (R, K) integer ranks feed the one-hot scatter_rows merge
+    directly (no inverse-permutation gather needed).
+    """
+    lt = z[..., :, None] > z[..., None, :]              # z[k'] < z[k]
+    K = z.shape[-1]
+    idx = jnp.arange(K)
+    tie_before = ((z[..., :, None] == z[..., None, :])
+                  & (idx[None, :] < idx[:, None]))      # z equal, k' < k
+    return jnp.sum(lt | tie_before, axis=-1).astype(jnp.int32)
+
+
 def isample_from_lineseg(key: Optional[jax.Array],
                          z_vals: jnp.ndarray, weights: jnp.ndarray,
                          n_importance: int, det: bool = False,
@@ -101,9 +120,14 @@ def isample_from_lineseg(key: Optional[jax.Array],
     is_only applies the max-filter weight smoothing used by single_net mode:
     w' = 0.5*(max(w_l, w_k) + max(w_k, w_u)) + alpha_base.
 
-    Returns (z_all_sorted, z_samples, sort_idxs) where z_all_sorted is the
-    sorted union of old and new samples and sort_idxs the argsort indices
-    into the concatenated [z_vals, z_samples].
+    Returns (z_all_sorted, z_samples, merge_ranks) where z_all_sorted is
+    the sorted union of old and new samples and merge_ranks the stable
+    sort RANKS of the concatenated [z_vals, z_samples] (the inverse of
+    the argsort permutation): feed per-sample tensors in concat order to
+    `gather.scatter_rows(x, merge_ranks)` to reorder them into sorted-z
+    order. Ranks come from a dense compare (stable_ranks), not a sort —
+    TPU argsort lowers to a bitonic network that costs more than the
+    whole compare at these widths (PERF.md round 5).
     """
     z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     if is_only:
@@ -119,20 +143,22 @@ def isample_from_lineseg(key: Optional[jax.Array],
     z_samples = jax.lax.stop_gradient(z_samples)
 
     z_cat = jnp.concatenate([z_vals, z_samples], -1)
-    sort_idxs = jnp.argsort(z_cat, -1)
-    from .gather import take_rows
-    z_all = take_rows(z_cat, sort_idxs)
-    return z_all, z_samples, sort_idxs
+    merge_ranks = stable_ranks(z_cat)
+    from .gather import scatter_rows
+    z_all = scatter_rows(z_cat, merge_ranks)
+    return z_all, z_samples, merge_ranks
 
 
 def merge_sorted(coarse: jnp.ndarray, fine: jnp.ndarray,
-                 sort_idxs: jnp.ndarray) -> jnp.ndarray:
-    """Reorder concatenated per-sample tensors by precomputed sort indices.
+                 merge_ranks: jnp.ndarray) -> jnp.ndarray:
+    """Reorder concatenated per-sample tensors into sorted-z order.
 
-    coarse: (R, S, ...), fine: (R, I, ...), sort_idxs: (R, S+I) from
-    isample_from_lineseg. Gradient-preserving gather (take_along_axis), the
-    jnp equivalent of the reference merge (raycasters.py:796-812).
+    coarse: (R, S, ...), fine: (R, I, ...), merge_ranks: (R, S+I) stable
+    ranks from isample_from_lineseg. Gradient-preserving one-hot scatter,
+    the jnp equivalent of the reference merge (raycasters.py:796-812).
     """
+    from .gather import scatter_rows
     cat = jnp.concatenate([coarse, fine], axis=1)
-    idx = sort_idxs.reshape(sort_idxs.shape + (1,) * (cat.ndim - 2))
-    return jnp.take_along_axis(cat, jnp.broadcast_to(idx, sort_idxs.shape + cat.shape[2:]), axis=1)
+    flat = cat.reshape(cat.shape[:2] + (-1,))
+    return scatter_rows(flat, merge_ranks).reshape(
+        merge_ranks.shape + cat.shape[2:])

@@ -24,7 +24,7 @@ from ..models.nerf import (NeRFConfig, apply_nerf, forward_density, _dense,
 from ..ops.compositing import get_density_fn, raw2outputs
 from ..ops.cylinder import get_near_far_in_cylinder
 from ..ops.embedder import EmbedConfig, embed
-from ..ops.gather import take_rows
+from ..ops.gather import scatter_rows, take_rows
 from ..ops.encoding import (make_bone_encoder, make_kp_encoder,
                             make_view_encoder, transform_batch_pts,
                             transform_batch_rays)
@@ -363,7 +363,7 @@ def render_rays(params: Dict[str, Any],
     ret0 = None
     if cfg.n_importance > 0:
         ret0 = ret
-        z_all, z_samples, sort_idxs = isample_from_lineseg(
+        z_all, z_samples, merge_ranks = isample_from_lineseg(
             keys[3], z_vals, ret0['weights'], cfg.n_importance,
             det=(cfg.perturb == 0.0), is_only=cfg.single_net)
         pts_is = _sample_pts(keys[4], rays_o, rays_d, z_samples,
@@ -410,7 +410,7 @@ def render_rays(params: Dict[str, Any],
             raw_is = run_network(cfg, fine_params, encoded_is, fc_fine,
                                  sr_key=keys[6])
             raw_all = jnp.concatenate([raw, raw_is], axis=1)
-        raw_fine = take_rows(raw_all, sort_idxs)
+        raw_fine = scatter_rows(raw_all, merge_ranks)
         ret = raw2outputs(raw_fine, z_all, rays_d, cfg.raw_noise_std, keys[2],
                           cfg.density_scale, act_fn, cfg.rgb_eps)
 
